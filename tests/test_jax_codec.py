@@ -1,0 +1,127 @@
+"""Device (JAX) codec tests on the virtual CPU backend, zlib as oracle in
+both directions — the TPU analog of the reference's streaming testbench
+(/root/reference/test_deflate.py:90-296)."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from tpu_deflate import api
+from tpu_deflate.config import DeflateConfig
+from tests.corpora import ALL_MODES, corpus
+
+SMALL = DeflateConfig(window=256, max_match=10, chunk_size=4096)
+FULL = DeflateConfig(window=32768, max_match=258, chunk_size=4096)
+FAST = DeflateConfig(fast=True, chunk_size=4096)
+
+
+class TestDeviceEncode:
+    @pytest.mark.parametrize("mode", ALL_MODES)
+    def test_encode_zlib_decodable(self, mode):
+        data = corpus(mode, 3000)
+        comp = api.compress(data, SMALL)
+        assert zlib.decompress(comp) == data
+
+    @pytest.mark.parametrize("mode", [0, 1, 3, 6])
+    def test_full_window_encode(self, mode):
+        data = corpus(mode, 3000)
+        comp = api.compress(data, FULL)
+        assert zlib.decompress(comp) == data
+
+    def test_fast_config(self):
+        data = corpus(1, 2200)
+        assert zlib.decompress(api.compress(data, FAST)) == data
+
+    def test_multichunk_stream(self):
+        """Multiple independent device-encoded blocks concatenate into one
+        valid zlib stream with a combined Adler-32."""
+        data = b"".join(corpus(m, 3000) for m in [0, 1, 2, 3, 4])
+        comp = api.compress(data, SMALL)
+        assert zlib.decompress(comp) == data
+
+    def test_empty(self):
+        assert zlib.decompress(api.compress(b"", SMALL)) == b""
+
+    def test_single_byte(self):
+        assert zlib.decompress(api.compress(b"x", SMALL)) == b"x"
+
+    def test_chunk_boundary_sizes(self):
+        for size in [4095, 4096, 4097, 8192, 8193]:
+            data = corpus(0, size)
+            assert zlib.decompress(api.compress(data, SMALL)) == data
+
+    def test_gzip_container(self):
+        import gzip as gz
+
+        data = corpus(1, 5000)
+        assert gz.decompress(api.compress_gzip(data, SMALL)) == data
+
+    def test_size_parity_with_host_reference(self):
+        """Device encoder must be within a few % of the host greedy encoder
+        (same window/match rules) — guards against parse regressions."""
+        from tpu_deflate.ref.deflate import zlib_compress
+
+        data = corpus(1, 3000)
+        dev = len(api.compress(data, SMALL))
+        host = len(zlib_compress(data, SMALL))
+        assert dev <= host * 1.05, (dev, host)
+
+
+class TestDeviceDecode:
+    @pytest.mark.parametrize("mode", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("level", [1, 6, 9])
+    def test_decode_zlib(self, mode, level):
+        data = corpus(mode, 3000)
+        comp = zlib.compress(data, level)
+        assert api.decompress(comp) == data
+
+    def test_decode_static(self):
+        data = corpus(1, 3000)
+        co = zlib.compressobj(6, zlib.DEFLATED, 15, 8, zlib.Z_FIXED)
+        comp = co.compress(data) + co.flush()
+        assert api.decompress(comp) == data
+
+    def test_decode_stored(self):
+        data = corpus(3, 2000)
+        assert api.decompress(zlib.compress(data, 0)) == data
+
+    def test_decode_multiblock(self):
+        co = zlib.compressobj(6)
+        data = b""
+        parts = []
+        for mode in [0, 3, 1]:
+            chunk = corpus(mode, 1500)
+            data += chunk
+            parts.append(co.compress(chunk))
+            parts.append(co.flush(zlib.Z_SYNC_FLUSH))
+        parts.append(co.flush())
+        assert api.decompress(b"".join(parts)) == data
+
+    def test_decode_full_window(self):
+        data = corpus(0, 40000) + corpus(2, 5000)
+        assert api.decompress(zlib.compress(data, 9)) == data
+
+    def test_corrupt_detected(self):
+        comp = bytearray(zlib.compress(corpus(1, 500)))
+        comp[10] ^= 0x40
+        with pytest.raises(ValueError):
+            api.decompress(bytes(comp))
+
+    def test_empty_stream(self):
+        assert api.decompress(zlib.compress(b"")) == b""
+
+
+class TestRoundTrip:
+    """Hardware-self-test analog: our encoder -> our decoder, no zlib
+    (reference test_deflate_bench does this on-chip,
+    test_deflate.py:326-653)."""
+
+    @pytest.mark.parametrize("mode", [0, 1, 2, 3, 5])
+    def test_own_roundtrip(self, mode):
+        data = corpus(mode, 3000)
+        assert api.decompress(api.compress(data, SMALL)) == data
+
+    def test_own_roundtrip_multichunk(self):
+        data = b"".join(corpus(m, 2500) for m in [1, 0, 3])
+        assert api.decompress(api.compress(data, FULL)) == data
