@@ -125,3 +125,28 @@ class TestRoundTrip:
     def test_own_roundtrip_multichunk(self):
         data = b"".join(corpus(m, 2500) for m in [1, 0, 3])
         assert api.decompress(api.compress(data, FULL)) == data
+
+
+class TestStoredFallback:
+    """Incompressible chunks must be emitted as stored blocks (bounded
+    expansion), including the >65535-byte two-block case."""
+
+    def test_random_data_bounded_expansion(self):
+        data = corpus(3, 100000)  # pure random
+        cfg = DeflateConfig(window=256, max_match=10, chunk_size=65536)
+        comp = api.compress(data, cfg)
+        assert zlib.decompress(comp) == data
+        # stored framing: 5 bytes per 65535 + container overhead
+        assert len(comp) <= len(data) + 5 * (len(data) // 65535 + 2) + 16
+
+    def test_mixed_compressible_incompressible(self):
+        data = corpus(3, 5000) + corpus(0, 5000) + corpus(3, 5000)
+        cfg = DeflateConfig(window=256, max_match=10, chunk_size=4096)
+        comp = api.compress(data, cfg)
+        assert zlib.decompress(comp) == data
+        assert len(comp) < len(data)  # middle section compresses
+
+    def test_own_decoder_handles_stored_fallback(self):
+        data = corpus(3, 20000)
+        cfg = DeflateConfig(window=256, max_match=10, chunk_size=4096)
+        assert api.decompress(api.compress(data, cfg)) == data

@@ -1,20 +1,30 @@
 """TPU-native DEFLATE decoder (jittable, static shapes).
 
-Two stages, reinterpreting the reference's 28-state decode FSM
-(/root/reference/deflate.py:656-1659):
+Reinterprets the reference's 28-state decode FSM
+(/root/reference/deflate.py:656-1659) in two stages:
 
-  Stage 1 — tokenize.  A compiled 3-phase state machine (HEADER / CLLEN /
-  TOKENS) walks the bitstream one Huffman symbol per iteration and emits a
-  token list: literal byte, (length, distance) pair, or stored-block byte
-  range.  Symbol decode is a single full-table lookup — the reference's
+  Stage 1 — tokenize, via PARALLEL BOUNDARY-CHASE.  Huffman streams are
+  bit-serial: you only know where symbol k+1 starts after decoding symbol
+  k.  The reference spends 1+ cycles per symbol on this chain
+  (NEXT/D_NEXT, deflate.py:1402-1517).  Here we instead decode a
+  *candidate* symbol at EVERY bit position of the block — one vectorized
+  sweep of table lookups (the candidate at a non-boundary position is
+  garbage, but computing it is free parallelism on the VPU) — giving a
+  jump array next[p] = p + symbol_bits(p).  The true symbol boundaries
+  are the orbit of the block's start bit under next[], found in
+  O(log window) pointer-doubling rounds.  Tokens are then emitted in
+  order with a prefix-sum scatter.  EOB positions self-loop, which both
+  terminates the chase and marks the block end.  Block headers, stored
+  blocks and dynamic-table builds run in a cheap outer per-block loop.
+
+  Symbol decode itself is a single full-table lookup: the reference's
   instant-lookup ``leaves``/``d_leaves`` RAMs + SPREAD replication
-  (deflate.py:1204-1400) built out to the full 15-bit depth (32768 entries,
-  the same RAM size), so there is no widen-on-miss path (deflate.py:1423-
-  1430 "CACHE MISS") at all.  Dynamic-tree table builds (BL/READBL/REPEAT/
-  HF1..SPREAD) are vectorized: canonical code assignment by sort + prefix
-  sums, and the spread table by bit-reversal + searchsorted over left-
-  aligned code ranges — O(1) depth instead of the reference's 3x32768
-  cycles per dynamic block.
+  (deflate.py:1204-1400) built to the full 15-bit depth (32768 entries,
+  the same RAM size), so the widen-on-miss path (deflate.py:1423-1430)
+  does not exist.  Dynamic-tree builds (BL/READBL/REPEAT/HF1..SPREAD) are
+  vectorized: canonical assignment by sort + prefix sums, and the spread
+  table by bit-reversal + searchsorted over left-aligned code ranges —
+  O(1) depth instead of the reference's 3x32768 cycles per dynamic block.
 
   Stage 2 — expand.  Tokens become output bytes entirely in parallel:
   output offsets by prefix sum, token ownership by searchsorted, and
@@ -78,13 +88,14 @@ def build_table_jax(lengths: jax.Array, table_bits: int) -> jax.Array:
     len_sorted = lengths[order]
     valid_sorted = len_sorted > 0
 
-    # histogram + RFC next_code
+    # histogram + RFC 1951 next_code recurrence
     ones = valid.astype(jnp.int32)
     bl_count = jnp.zeros((17,), jnp.int32).at[jnp.clip(lengths, 0, 16)].add(ones)
-    # next_code[l] = (next_code[l-1] + bl_count[l-1]) << 1, next_code[0]=0
+
     def nc_step(carry, blc):
         code = (carry + blc) << 1
         return code, code
+
     _, nc = jax.lax.scan(nc_step, jnp.int32(0), bl_count[:16])
     next_code = jnp.concatenate([jnp.zeros((1,), jnp.int32), nc])  # [17]
 
@@ -115,8 +126,8 @@ def build_table_jax(lengths: jax.Array, table_bits: int) -> jax.Array:
 
 
 def _peek_bits(data_u32: jax.Array, pos: jax.Array, nbits) -> jax.Array:
-    """Peek up to 24 bits at absolute bit position `pos` from byte array
-    packed as uint32 per byte."""
+    """Peek up to 24 bits at absolute bit position(s) `pos` (elementwise —
+    works for scalar or vector pos)."""
     byte0 = pos >> 3
     sh = (pos & 7).astype(jnp.uint32)
     M = data_u32.shape[0]
@@ -142,23 +153,40 @@ TK_LIT = 0
 TK_MATCH = 1
 TK_STORED = 2
 
-# FSM modes
+# FSM modes (outer, per-block loop only — there is no per-symbol loop)
 M_HEADER = 0
 M_CLLEN = 1
-M_TOKENS = 2
-M_DONE = 3
-M_ERROR = 4
+M_TABLES = 2
+M_TOKENS = 3
+M_DONE = 4
+M_ERROR = 5
 
 
-@functools.partial(jax.jit, static_argnames=("tok_cap",))
-def tokenize(data: jax.Array, start_bit: jax.Array, tok_cap: int):
+@functools.partial(jax.jit, static_argnames=("tok_cap", "pwin", "stop_at_eob"))
+def tokenize(
+    data: jax.Array,
+    start_bit: jax.Array,
+    tok_cap: int,
+    end_bit: jax.Array | None = None,
+    pwin: int = 1 << 19,
+    stop_at_eob: bool = False,
+):
     """Stage 1: bitstream -> token arrays.
 
-    data: uint8[M].  Returns dict of token arrays + end position + error.
+    data: uint8[M].  pwin: bit positions processed per parallel block pass
+    (blocks longer than pwin continue in further passes).  ``end_bit``
+    bounds this decode for chunk-parallel lanes; ``stop_at_eob`` makes any
+    end-of-block terminate the lane (indexed chunks are one block each, so
+    lanes skip the inter-chunk alignment markers entirely).
+    Returns (tk, ta, tb, tp, out_total, end_pos, err).
     """
     M = data.shape[0]
     d32 = data.astype(jnp.uint32)
     nbits_total = 8 * M
+    if end_bit is None:
+        end_bit = jnp.int32(nbits_total)
+    else:
+        end_bit = jnp.asarray(end_bit, jnp.int32)
 
     lit_static = jnp.asarray(_STATIC_LIT_TABLE)
     dist_static = jnp.asarray(_STATIC_DIST_TABLE)
@@ -190,6 +218,7 @@ def tokenize(data: jax.Array, start_bit: jax.Array, tok_cap: int):
         err=jnp.int32(ERR_OK),
     )
 
+    # ---------------- block header (stored / static / dynamic) ----------
     def header_fn(s):
         pos = s["pos"]
         bfinal = peek(pos, 1)
@@ -203,7 +232,7 @@ def tokenize(data: jax.Array, start_bit: jax.Array, tok_cap: int):
             ok = ln == (nln ^ 0xFFFF)
             byte_off = (p + 32) >> 3
             tp = s["tp"]
-            s = dict(
+            return dict(
                 s,
                 pos=p + 32 + 8 * ln,
                 tk=s["tk"].at[tp].set(TK_STORED),
@@ -219,7 +248,6 @@ def tokenize(data: jax.Array, start_bit: jax.Array, tok_cap: int):
                 ),
                 err=jnp.where(ok, s["err"], jnp.int32(ERR_STORED)),
             )
-            return s
 
         def static(s):
             return dict(
@@ -234,11 +262,10 @@ def tokenize(data: jax.Array, start_bit: jax.Array, tok_cap: int):
         def dynamic(s):
             hlit = peek(pos3, 5) + 257
             hdist = peek(pos3 + 5, 5) + 1
-            hclen = peek(pos3 + 14 - 4, 4) + 4  # bits at pos3+10
+            hclen = peek(pos3 + 10, 4) + 4
             p = pos3 + 14
-            # read hclen 3-bit lengths in CODE_LENGTH_ORDER
             j = jnp.arange(19, dtype=jnp.int32)
-            raw = jax.vmap(lambda k: peek(p + 3 * k, 3))(j)
+            raw = peek(p + 3 * j, 3)
             raw = jnp.where(j < hclen, raw, 0)
             cl_lengths = jnp.zeros((19,), jnp.int32).at[cl_order].set(raw)
             cl_tab_small = build_table_jax(
@@ -261,6 +288,7 @@ def tokenize(data: jax.Array, start_bit: jax.Array, tok_cap: int):
 
         return jax.lax.switch(jnp.clip(btype, 0, 3), [stored, static, dynamic, bad], s)
 
+    # -------- code-length symbol decode (dynamic header, <=316 iters) ----
     def cllen_fn(s):
         pos = s["pos"]
         leaf = s["cl_tab"][peek(pos, CL_BITS)]
@@ -290,122 +318,175 @@ def tokenize(data: jax.Array, start_bit: jax.Array, tok_cap: int):
         write = (sidx >= ci) & (sidx < ci + count)
         lengths = jnp.where(write, value, lengths)
         ci = ci + count
+        done = ci >= s["hlit"] + s["hdist"]
 
-        total = s["hlit"] + s["hdist"]
-        done = ci >= total
-
-        def finish(s):
-            lengths_ = s["lengths"]
-            hlit = s["hlit"]
-            lit_lengths = jnp.where(sidx < hlit, lengths_, 0)
-            dl = lengths_[jnp.clip(hlit + sidx, 0, MAX_SYMS - 1)]
-            dist_lengths = jnp.where(sidx < s["hdist"], dl, 0)
-            return dict(
-                s,
-                lit_tab=build_table_jax(lit_lengths, TABLE_BITS),
-                dist_tab=build_table_jax(dist_lengths, TABLE_BITS),
-                mode=jnp.int32(M_TOKENS),
-            )
-
-        s = dict(
+        return dict(
             s,
             pos=pos + adv,
             cl_idx=ci,
             lengths=lengths,
             err=jnp.where(bad, jnp.int32(ERR_BAD_CODE), s["err"]),
-            mode=jnp.where(bad, jnp.int32(M_ERROR), s["mode"]),
+            mode=jnp.where(
+                bad,
+                jnp.int32(M_ERROR),
+                jnp.where(done, jnp.int32(M_TABLES), s["mode"]),
+            ),
         )
-        return jax.lax.cond(done & ~bad, finish, lambda s: s, s)
 
-    def tokens_fn(s):
-        pos = s["pos"]
-        leaf = s["lit_tab"][peek(pos, TABLE_BITS)]
-        nb = leaf & 0xF
-        sym = leaf >> 4
-        bad = nb == 0
-        pos = pos + nb
-
-        def lit(s):
-            tp = s["tp"]
-            return dict(
-                s,
-                pos=pos,
-                tk=s["tk"].at[tp].set(TK_LIT),
-                ta=s["ta"].at[tp].set(sym),
-                tp=tp + 1,
-                out_total=s["out_total"] + 1,
-            )
-
-        def eob(s):
-            return dict(
-                s,
-                pos=pos,
-                mode=jnp.where(
-                    s["bfinal"] == 1, jnp.int32(M_DONE), jnp.int32(M_HEADER)
-                ),
-            )
-
-        def match(s):
-            li = jnp.clip(sym - 257, 0, 28)
-            bad_sym = sym - 257 >= 29
-            leb = len_extra[li]
-            length = len_base[li] + peek(pos, leb)
-            p2 = pos + leb
-            dleaf = s["dist_tab"][peek(p2, TABLE_BITS)]
-            dnb = dleaf & 0xF
-            dsym = jnp.clip(dleaf >> 4, 0, 29)
-            bad_d = (dnb == 0) | ((dleaf >> 4) >= 30)
-            p3 = p2 + dnb
-            deb = dist_extra[dsym]
-            dist = dist_base[dsym] + peek(p3, deb)
-            p4 = p3 + deb
-            too_far = dist > s["out_total"]
-            tp = s["tp"]
-            anybad = bad_sym | bad_d | too_far
-            return dict(
-                s,
-                pos=p4,
-                tk=s["tk"].at[tp].set(TK_MATCH),
-                ta=s["ta"].at[tp].set(length),
-                tb=s["tb"].at[tp].set(dist),
-                tp=tp + 1,
-                out_total=s["out_total"] + length,
-                mode=jnp.where(anybad, jnp.int32(M_ERROR), s["mode"]),
-                err=jnp.where(
-                    anybad,
-                    jnp.where(too_far, jnp.int32(ERR_DIST), jnp.int32(ERR_BAD_SYM)),
-                    s["err"],
-                ),
-            )
-
-        branch = jnp.where(sym < 256, 0, jnp.where(sym == 256, 1, 2))
-        s = jax.lax.switch(branch, [lit, eob, match], s)
+    def tables_fn(s):
+        """Build the block's lit/dist instant-lookup tables (once per
+        dynamic block)."""
+        sidx = jnp.arange(MAX_SYMS, dtype=jnp.int32)
+        lengths_ = s["lengths"]
+        hlit = s["hlit"]
+        lit_lengths = jnp.where(sidx < hlit, lengths_, 0)
+        dl = lengths_[jnp.clip(hlit + sidx, 0, MAX_SYMS - 1)]
+        dist_lengths = jnp.where(sidx < s["hdist"], dl, 0)
         return dict(
             s,
-            err=jnp.where(bad, jnp.int32(ERR_BAD_CODE), s["err"]),
-            mode=jnp.where(bad, jnp.int32(M_ERROR), s["mode"]),
+            lit_tab=build_table_jax(lit_lengths, TABLE_BITS),
+            dist_tab=build_table_jax(dist_lengths, TABLE_BITS),
+            mode=jnp.int32(M_TOKENS),
         )
 
-    def cond(s):
+    # -------- the parallel boundary-chase over one window ----------------
+    def block_pass(s):
+        base = s["pos"]
+        rel = jnp.arange(pwin, dtype=jnp.int32)
+        p_abs = base + rel
+        oob = p_abs >= end_bit
+
+        # candidate symbol decode at EVERY bit position (vectorized)
+        leaf = s["lit_tab"][peek(p_abs, TABLE_BITS)]
+        nb = leaf & 0xF
+        sym = leaf >> 4
+        is_eob = (sym == 256) & (nb > 0)
+        is_match_c = (sym > 256) & (nb > 0)
+        is_lit = (sym < 256) & (nb > 0)
+
+        li = jnp.clip(sym - 257, 0, 28)
+        bad_sym = is_match_c & (sym - 257 >= 29)
+        leb = len_extra[li]
+        lext = peek(p_abs + nb, 5) & ((1 << leb) - 1)
+        length = len_base[li] + lext
+        dpos = p_abs + nb + leb
+        dleaf = s["dist_tab"][peek(dpos, TABLE_BITS)]
+        dnb = dleaf & 0xF
+        dsym = jnp.clip(dleaf >> 4, 0, 29)
+        bad_d = is_match_c & ((dnb == 0) | ((dleaf >> 4) >= 30))
+        deb = dist_extra[dsym]
+        dext = peek(dpos + dnb, 13) & ((1 << deb) - 1)
+        dist = dist_base[dsym] + dext
+
+        bad = (nb == 0) | bad_sym | bad_d | oob
+        adv = nb + jnp.where(is_match_c, leb + dnb + deb, 0)
+        nxt = jnp.where(is_eob | bad, rel, rel + adv)
+        nxt = jnp.minimum(nxt, pwin)  # pwin = overflow sentinel
+
+        # pointer-doubling reachability from rel=0 (the block/window start)
+        J = jnp.concatenate([nxt, jnp.array([pwin], jnp.int32)])
+        r = jnp.zeros((pwin + 1,), jnp.int32).at[0].set(1)
+        rounds = max(1, int(np.ceil(np.log2(max(pwin, 2)))) + 1)
+        for _ in range(rounds):
+            r = jnp.maximum(r, jnp.zeros_like(r).at[J].max(r))
+            J = J[J]
+        reach = r[:pwin] == 1
+        overflowed = r[pwin] == 1
+
+        # ordered token emission by prefix sum over reached positions
+        tmask = reach & (is_lit | is_match_c) & ~bad
+        ord1 = jnp.cumsum(tmask.astype(jnp.int32))  # 1-based ordinal
+        ntok = ord1[-1]
+        tp = s["tp"]
+        cap_ok = tp + ntok < tok_cap - 1
+        slot = jnp.where(tmask & cap_ok, tp + ord1 - 1, jnp.int32(tok_cap - 1))
+        tk_val = jnp.where(is_lit, jnp.int32(TK_LIT), jnp.int32(TK_MATCH))
+        ta_val = jnp.where(is_lit, sym, length)
+        tb_val = jnp.where(is_lit, 0, dist)
+
+        # distance validity: output produced before each token
+        produced = jnp.where(tmask, jnp.where(is_lit, 1, length), 0)
+        prefix_out = s["out_total"] + jnp.cumsum(produced) - produced
+        too_far = jnp.any(tmask & is_match_c & (dist > prefix_out))
+        bad_reached = jnp.any(reach & bad)
+
+        eob_hit = jnp.any(reach & is_eob)
+        eob_rel = jnp.max(jnp.where(reach & is_eob, rel, -1))
+        eob_nb = nb[jnp.clip(eob_rel, 0, pwin - 1)]
+        # window continue: the last reached position's successor (>= pwin)
+        last_rel = jnp.max(jnp.where(reach, rel, -1))
+        cont_pos = base + last_rel + adv[jnp.clip(last_rel, 0, pwin - 1)]
+
+        new_pos = jnp.where(eob_hit, base + eob_rel + eob_nb, cont_pos)
+        anybad = bad_reached | too_far | ~cap_ok
+        after_eob = (
+            jnp.int32(M_DONE)
+            if stop_at_eob
+            else jnp.where(
+                s["bfinal"] == 1, jnp.int32(M_DONE), jnp.int32(M_HEADER)
+            )
+        )
+        mode = jnp.where(
+            anybad,
+            jnp.int32(M_ERROR),
+            jnp.where(eob_hit, after_eob, jnp.int32(M_TOKENS)),
+        )
+        err = jnp.where(
+            anybad,
+            jnp.where(
+                too_far,
+                jnp.int32(ERR_DIST),
+                jnp.where(~cap_ok, jnp.int32(ERR_OVERFLOW), jnp.int32(ERR_BAD_CODE)),
+            ),
+            s["err"],
+        )
+        return dict(
+            s,
+            pos=new_pos,
+            tk=s["tk"].at[slot].set(jnp.where(tmask, tk_val, s["tk"][slot])),
+            ta=s["ta"].at[slot].set(jnp.where(tmask, ta_val, s["ta"][slot])),
+            tb=s["tb"].at[slot].set(jnp.where(tmask, tb_val, s["tb"][slot])),
+            tp=tp + jnp.where(cap_ok, ntok, 0),
+            out_total=s["out_total"] + jnp.where(cap_ok, jnp.sum(produced), 0),
+            mode=mode,
+            err=err,
+        )
+
+    # ---------------- outer per-block loop -------------------------------
+    def in_bounds(s):
         return (
-            (s["mode"] < M_DONE)
-            & (s["pos"] <= nbits_total)
+            (s["pos"] <= nbits_total)
+            & (s["pos"] < end_bit)
             & (s["tp"] < tok_cap - 1)
         )
 
-    def body(s):
-        return jax.lax.switch(
-            jnp.clip(s["mode"], 0, 2), [header_fn, cllen_fn, tokens_fn], s
-        )
+    def outer_cond(s):
+        return (s["mode"] < M_DONE) & in_bounds(s)
 
-    s = jax.lax.while_loop(cond, body, state)
+    def outer_body(s):
+        s = jax.lax.cond(s["mode"] == M_HEADER, header_fn, lambda s: s, s)
+        s = jax.lax.while_loop(
+            lambda s: (s["mode"] == M_CLLEN) & in_bounds(s), cllen_fn, s
+        )
+        s = jax.lax.cond(s["mode"] == M_TABLES, tables_fn, lambda s: s, s)
+        s = jax.lax.cond(s["mode"] == M_TOKENS, block_pass, lambda s: s, s)
+        return s
+
+    s = jax.lax.while_loop(outer_cond, outer_body, state)
+    clean_end = (s["mode"] == M_DONE) | (
+        (s["err"] == ERR_OK) & (s["pos"] >= end_bit) & (s["mode"] == M_HEADER)
+    )
     err = jnp.where(
-        s["mode"] == M_DONE,
+        clean_end,
         s["err"],
         jnp.where(
             s["err"] != ERR_OK,
             s["err"],
-            jnp.where(s["tp"] >= tok_cap - 1, jnp.int32(ERR_OVERFLOW), jnp.int32(ERR_INPUT)),
+            jnp.where(
+                s["tp"] >= tok_cap - 1,
+                jnp.int32(ERR_OVERFLOW),
+                jnp.int32(ERR_INPUT),
+            ),
         ),
     )
     return s["tk"], s["ta"], s["tb"], s["tp"], s["out_total"], s["pos"], err
@@ -447,6 +528,14 @@ def expand(data, tk, ta, tb, tp, out_cap: int):
     return out, total
 
 
+def _pick_pwin(nbytes: int) -> int:
+    """Window (bit positions per parallel pass) covering nbytes of
+    compressed data, capped to bound memory."""
+    want = 8 * max(nbytes, 64)
+    p = 1 << int(np.ceil(np.log2(want)))
+    return min(p, 1 << 20)
+
+
 def inflate_device(
     data: bytes | np.ndarray,
     start_bit: int = 0,
@@ -464,10 +553,11 @@ def inflate_device(
     m_pad = max(1 << 12, 1 << int(np.ceil(np.log2(max(m, 2)))))
     arr = jnp.asarray(np.pad(raw, (0, m_pad - m)))
     cap = out_cap or max(1 << 12, 1 << (int(np.ceil(np.log2(max(4 * m, 2))))))
+    pwin = _pick_pwin(m_pad)
     while True:
         tok_cap = cap + 16
         tk, ta, tb, tp, out_total, pos, err = tokenize(
-            arr, start_bit, tok_cap=tok_cap
+            arr, start_bit, tok_cap=tok_cap, pwin=pwin
         )
         err = int(err)
         if err == ERR_OVERFLOW or (err == ERR_OK and int(out_total) > cap):

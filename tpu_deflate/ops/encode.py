@@ -252,8 +252,52 @@ def encode_block_bits(
     )
     out_len = jnp.where(final, final_len, aligned + 4)
 
+    # --- stored-block fallback ------------------------------------------
+    # Incompressible chunks are emitted as method-0 stored blocks
+    # (RFC 1951 3.2.4; the reference decodes these at deflate.py:1603-1626
+    # but its encoder cannot emit them — ours picks whichever is smaller).
+    out_s, out_len_s = _stored_output(data, n, final, M)
+    use_stored = out_len_s < out_len
+    out = jnp.where(use_stored, out_s, out)
+    out_len = jnp.where(use_stored, out_len_s, out_len)
+
     ntokens = jnp.sum(start.astype(jnp.int32))
     return out.astype(jnp.uint8), out_len, ntokens
+
+
+_STORED_MAX = 65535
+
+
+def _stored_output(data: jax.Array, n: jax.Array, final: jax.Array, M: int):
+    """Stored-block encoding of data[:n]: ceil(n/65535) method-0 blocks,
+    each 5-byte header + raw bytes; always byte-aligned."""
+    N = data.shape[0]
+    nblocks = max(1, -(-N // _STORED_MAX))
+    # oversized scratch so full-window dynamic_update_slice never clamps
+    M_big = max(M, nblocks * (_STORED_MAX + 5) + 8)
+    out = jnp.zeros((M_big,), jnp.int32)
+    d = data.astype(jnp.int32)
+    nb_live = jnp.maximum((n + _STORED_MAX - 1) // _STORED_MAX, 1)
+    for sb in range(nblocks):
+        off = sb * (_STORED_MAX + 5)
+        live = (sb == 0) | (n > sb * _STORED_MAX)
+        sb_len = jnp.clip(n - sb * _STORED_MAX, 0, _STORED_MAX)
+        is_last = sb + 1 >= nb_live
+        hdr = jnp.where(final & is_last, 1, 0)
+        nlen = sb_len ^ 0xFFFF
+        hdr_vals = jnp.stack(
+            [hdr, sb_len & 0xFF, sb_len >> 8, nlen & 0xFF, nlen >> 8]
+        )
+        hdr_vals = jnp.where(live, hdr_vals, 0)
+        out = jax.lax.dynamic_update_slice(out, hdr_vals, (off,))
+        seg = jax.lax.dynamic_slice(
+            jnp.pad(d, (0, _STORED_MAX)), (sb * _STORED_MAX,), (_STORED_MAX,)
+        )
+        j = jnp.arange(_STORED_MAX, dtype=jnp.int32)
+        seg = jnp.where(live & (j < sb_len), seg, 0)
+        out = jax.lax.dynamic_update_slice(out, seg, (off + 5,))
+    out_len = nb_live * 5 + n
+    return out[:M], out_len
 
 
 def encode_block(
