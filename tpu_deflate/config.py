@@ -60,6 +60,11 @@ class DeflateConfig:
     # improvement over the reference, which is static-only).
     dynamic_encode: bool = False
 
+    # Use the fused Pallas VMEM match kernel (kernels/match.py) for
+    # stages 1+2 of the encoder.  Applies to compare-sweep windows
+    # (window <= 256); the sort matcher path ignores it.
+    use_pallas: bool = False
+
     def __post_init__(self):
         # Legality rules, mirroring /root/reference/deflate.py:43-53.
         if self.low_lut:

@@ -140,7 +140,8 @@ def _greedy_parse(length: jax.Array, n) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "max_match", "use_sort_matcher")
+    jax.jit,
+    static_argnames=("window", "max_match", "use_sort_matcher", "use_pallas"),
 )
 def encode_block_bits(
     data: jax.Array,
@@ -149,6 +150,7 @@ def encode_block_bits(
     window: int,
     max_match: int,
     use_sort_matcher: bool,
+    use_pallas: bool = False,
 ):
     """Encode one block: uint8[N] -> (out_bytes uint8[M], out_len, nbits).
 
@@ -170,13 +172,25 @@ def encode_block_bits(
     key3 = b | (b1 << 8) | (b2 << 16)
     # make positions whose 3-byte window crosses n unique so they never match
     key3 = jnp.where(idx + 3 <= n, key3, (1 << 24) + idx)
-    if use_sort_matcher:
-        dist = _match_candidates_sorted(key3, window)
-    else:
-        dist = _match_candidates_window(key3, window)
+    if use_pallas and not use_sort_matcher and N % 128 == 0:
+        # fused VMEM kernel for stages 1+2 (the FAST matcher analog)
+        from tpu_deflate.kernels.match import find_matches_pallas
 
-    # --- stage 2: extension ---------------------------------------------
-    length = _extend_matches(b, dist, n, max_match)
+        dist, length = find_matches_pallas(
+            key3, n, window=window, max_match=max_match
+        )
+        has = (dist > 0) & (idx + 3 <= n) & (dist <= idx)
+        dist = jnp.where(has, dist, 0)
+        length = jnp.where(has, length, 0)
+        length = jnp.minimum(length, jnp.maximum(n - idx, 0))
+    else:
+        if use_sort_matcher:
+            dist = _match_candidates_sorted(key3, window)
+        else:
+            dist = _match_candidates_window(key3, window)
+
+        # --- stage 2: extension -----------------------------------------
+        length = _extend_matches(b, dist, n, max_match)
 
     # --- stage 3: greedy parse ------------------------------------------
     start = _greedy_parse(length, n)
@@ -315,6 +329,7 @@ def encode_block(
         window=config.window,
         max_match=config.max_match,
         use_sort_matcher=use_sort,
+        use_pallas=config.use_pallas,
     )
 
 
@@ -326,5 +341,6 @@ def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateCo
         window=config.window,
         max_match=config.max_match,
         use_sort_matcher=use_sort,
+        use_pallas=config.use_pallas,
     )
     return jax.vmap(f)(data, lengths, finals)
