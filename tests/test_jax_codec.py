@@ -150,3 +150,47 @@ class TestStoredFallback:
         data = corpus(3, 20000)
         cfg = DeflateConfig(window=256, max_match=10, chunk_size=4096)
         assert api.decompress(api.compress(data, cfg)) == data
+
+
+class TestDynamicEncode:
+    """Device-side dynamic-Huffman encode (capability beyond the
+    reference, whose encoder is static-only)."""
+
+    DYN = DeflateConfig(
+        window=32768, max_match=258, chunk_size=8192, lazy=True,
+        dynamic_encode=True,
+    )
+
+    @pytest.mark.parametrize("mode", [0, 1, 2, 3, 4, 6, 7])
+    def test_zlib_decodable(self, mode):
+        data = corpus(mode, 9000)
+        comp = api.compress(data, self.DYN)
+        assert zlib.decompress(comp) == data
+
+    def test_beats_static(self):
+        # mode 4: '0'/'1' characters — an 8-bit static literal code wastes
+        # 7 bits per byte, so dynamic trees must win decisively
+        data = corpus(4, 9000)
+        dyn = len(api.compress(data, self.DYN))
+        static = len(
+            api.compress(
+                data,
+                DeflateConfig(
+                    window=32768, max_match=258, chunk_size=8192, lazy=True
+                ),
+            )
+        )
+        assert dyn < static
+
+    def test_own_decoder_roundtrip(self):
+        data = b"".join(corpus(m, 5000) for m in [0, 2, 3])
+        assert api.decompress(api.compress(data, self.DYN)) == data
+
+    def test_empty_and_tiny(self):
+        for data in [b"", b"a", b"ab" * 3]:
+            assert zlib.decompress(api.compress(data, self.DYN)) == data
+
+    def test_indexed_parallel_decode_of_dynamic(self):
+        data = b"".join(corpus(m, 5000) for m in [1, 0])
+        stream, index = api.compress_indexed(data, self.DYN)
+        assert api.decompress_indexed(stream, index, self.DYN) == data

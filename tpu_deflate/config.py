@@ -65,6 +65,11 @@ class DeflateConfig:
     # (window <= 256); the sort matcher path ignores it.
     use_pallas: bool = False
 
+    # One-step lazy matching (emit a literal when the next position holds
+    # a strictly longer match).  Better ratio than the reference's greedy
+    # parse; off for reference-parity configs.
+    lazy: bool = False
+
     def __post_init__(self):
         # Legality rules, mirroring /root/reference/deflate.py:43-53.
         if self.low_lut:
@@ -93,7 +98,9 @@ class DeflateConfig:
 DEFAULT = DeflateConfig()
 FAST_CONFIG = DeflateConfig(fast=True, window=32)
 REFERENCE_PARITY = DeflateConfig(window=256, max_match=10)
-FULL_WINDOW = DeflateConfig(window=32768, max_match=258, dynamic_encode=True)
+FULL_WINDOW = DeflateConfig(
+    window=32768, max_match=258, dynamic_encode=True, lazy=True
+)
 DECOMPRESS_ONLY = DeflateConfig(
     compress=False, match10=False, fast=False, max_match=258
 )

