@@ -1,0 +1,55 @@
+"""tpu-deflate: a TPU-native lossless DEFLATE (RFC 1950/1951/1952) codec.
+
+Brand-new JAX/Pallas reinterpretation of the capabilities of
+tomtor/HDL-deflate (an FPGA MyHDL core): zlib-compatible compress and
+decompress as data-parallel TPU programs rather than a byte-per-cycle
+state machine.
+
+Quick start::
+
+    import tpu_deflate
+
+    comp = tpu_deflate.compress(data)             # valid zlib stream
+    out = tpu_deflate.decompress(comp)            # bit-exact round trip
+
+    cfg = tpu_deflate.DeflateConfig(window=32768, max_match=258,
+                                    dynamic_encode=True, lazy=True)
+    comp = tpu_deflate.compress(data, cfg)
+"""
+
+from tpu_deflate.api import (
+    StreamCompressor,
+    compress,
+    compress_gzip,
+    compress_indexed,
+    decompress,
+    decompress_indexed,
+)
+from tpu_deflate.config import (
+    DEFAULT,
+    DECOMPRESS_ONLY,
+    FAST_CONFIG,
+    FULL_WINDOW,
+    LOWLUT,
+    REFERENCE_PARITY,
+    DeflateConfig,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DeflateConfig",
+    "DEFAULT",
+    "DECOMPRESS_ONLY",
+    "FAST_CONFIG",
+    "FULL_WINDOW",
+    "LOWLUT",
+    "REFERENCE_PARITY",
+    "StreamCompressor",
+    "compress",
+    "compress_gzip",
+    "compress_indexed",
+    "decompress",
+    "decompress_indexed",
+    "__version__",
+]

