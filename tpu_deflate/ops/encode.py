@@ -300,6 +300,92 @@ def _assign_code_lengths_jax(freq: jax.Array, max_bits: int) -> jax.Array:
     return lengths
 
 
+def _rle_code_lengths_jax(L: jax.Array, ops_cap: int = 320):
+    """Vectorized RFC 1951 3.2.7 run-length encoding of code lengths.
+
+    L: int32[S] (the HLIT+HDIST concatenated lengths).  Returns
+    (sym[ops_cap], extra[ops_cap], ebits[ops_cap], nops): op streams using
+    symbols 0-15 plus 16 (repeat prev 3-6), 17 (3-10 zeros), 18 (11-138
+    zeros).  Dead slots have sym 0 and are masked by nops.
+    """
+    S = L.shape[0]
+    i = jnp.arange(S, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), L[:-1]])
+    new_run = (i == 0) | (L != prev)
+    rid = jnp.cumsum(new_run.astype(jnp.int32)) - 1  # run id per position
+    nruns = rid[-1] + 1
+    # per-run value and start (scatter into S-sized run tables)
+    run_val = jnp.zeros((S,), jnp.int32).at[rid].max(jnp.where(new_run, L, 0))
+    run_start = (
+        jnp.full((S,), S, jnp.int32).at[rid].min(jnp.where(new_run, i, S))
+    )
+    ridx = jnp.arange(S, dtype=jnp.int32)
+    next_start = jnp.where(
+        ridx + 1 < nruns,
+        run_start[jnp.clip(ridx + 1, 0, S - 1)],
+        S,
+    )
+    run_len = jnp.where(ridx < nruns, next_start - run_start, 0)
+
+    v = run_val
+    ln = jnp.maximum(run_len, 0)
+    # zero runs: k18 full 138-chunks, then one 18/17 for the 3..137 tail,
+    # then <3 literal zeros
+    k18 = ln // 138
+    r1 = ln % 138
+    z_extra_op = (r1 >= 3).astype(jnp.int32)
+    z_lits = jnp.where(r1 < 3, r1, 0)
+    count_zero = k18 + z_extra_op + z_lits
+    # nonzero runs: 1 literal, then 16-chunks of 6, then a 3..5 16-chunk or
+    # <3 literal repeats
+    rem = jnp.maximum(ln - 1, 0)
+    k16f = rem // 6
+    r2 = rem % 6
+    n_extra16 = (r2 >= 3).astype(jnp.int32)
+    n_lits = jnp.where(r2 < 3, r2, 0)
+    count_nz = 1 + k16f + n_extra16 + n_lits
+    counts = jnp.where(ridx < nruns, jnp.where(v == 0, count_zero, count_nz), 0)
+    op_off = jnp.cumsum(counts) - counts
+    nops = jnp.sum(counts)
+
+    o = jnp.arange(ops_cap, dtype=jnp.int32)
+    r = jnp.clip(jnp.searchsorted(op_off, o, side="right") - 1, 0, S - 1)
+    j = o - op_off[r]
+    rv = v[r]
+    rk18, rr1 = k18[r], r1[r]
+    rk16f, rr2 = k16f[r], r2[r]
+
+    # zero-run op j
+    z_sym = jnp.where(
+        j < rk18,
+        18,
+        jnp.where((j == rk18) & (rr1 >= 11), 18, jnp.where((j == rk18) & (rr1 >= 3), 17, 0)),
+    )
+    z_ext = jnp.where(
+        j < rk18,
+        138 - 11,
+        jnp.where((j == rk18) & (rr1 >= 11), rr1 - 11, jnp.where((j == rk18) & (rr1 >= 3), rr1 - 3, 0)),
+    )
+    z_eb = jnp.where(
+        j < rk18,
+        7,
+        jnp.where((j == rk18) & (rr1 >= 11), 7, jnp.where((j == rk18) & (rr1 >= 3), 3, 0)),
+    )
+    # nonzero-run op j
+    n_is_lit0 = j == 0
+    n_is_full16 = (j >= 1) & (j <= rk16f)
+    n_is_part16 = (j == rk16f + 1) & (rr2 >= 3)
+    n_sym = jnp.where(n_is_lit0, rv, jnp.where(n_is_full16, 16, jnp.where(n_is_part16, 16, rv)))
+    n_ext = jnp.where(n_is_full16, 3, jnp.where(n_is_part16, rr2 - 3, 0))
+    n_eb = jnp.where(n_is_full16 | n_is_part16, 2, 0)
+
+    live = o < nops
+    sym = jnp.where(live, jnp.where(rv == 0, z_sym, n_sym), 0)
+    extra = jnp.where(live, jnp.where(rv == 0, z_ext, n_ext), 0)
+    ebits = jnp.where(live, jnp.where(rv == 0, z_eb, n_eb), 0)
+    return sym, extra, ebits, nops
+
+
 def _kraft_complete(lengths: jax.Array, max_bits: int) -> jax.Array:
     """True iff the code is exactly complete (zlib requirement for the
     literal and code-length trees)."""
@@ -489,31 +575,37 @@ def encode_block_bits(
         dyn_dist_code = jnp.pad(dyn_dist_code, (0, 32 - 30))
         dyn_dist_len_p = jnp.pad(dyn_dist_len, (0, 32 - 30))
 
-        # ---- dynamic header: HLIT/HDIST/HCLEN + 19 CL lengths + 316
-        # code lengths emitted as plain CL symbols (no 16/17/18 RLE; the
-        # header overhead is ~0.2% of a 64 KB chunk) -------------------
+        # ---- dynamic header: HLIT/HDIST/HCLEN + 19 CL lengths + the 316
+        # code lengths run-length encoded with symbols 16/17/18 ----------
         all_lens316 = jnp.concatenate([dyn_lit_len, dyn_dist_len])  # [316]
+        rle_sym, rle_extra, rle_ebits, rle_n = _rle_code_lengths_jax(all_lens316)
+        OPS = rle_sym.shape[0]
+        rle_live = jnp.arange(OPS, dtype=jnp.int32) < rle_n
         cl_freq = (
-            jnp.zeros((19,), jnp.int32)
-            .at[jnp.clip(all_lens316, 0, 18)]
-            .add(1)
+            jnp.zeros((20,), jnp.int32)
+            .at[jnp.where(rle_live, rle_sym, 19)]
+            .add(1)[:19]
         )
         cl_len = _assign_code_lengths_jax(cl_freq, 7)
         cl_code = _revbits_vec(_canonical_codes_jax(cl_len), jnp.maximum(cl_len, 1))
         cl_order = jnp.asarray(T.CODE_LENGTH_ORDER)
         hdr_e0_val = jnp.int32((286 - 257) | ((30 - 1) << 5) | ((19 - 4) << 10))
+        op_nbs = jnp.where(rle_live, cl_len[rle_sym] + rle_ebits, 0)
+        op_vals = jnp.where(
+            rle_live, cl_code[rle_sym] | (rle_extra << cl_len[rle_sym]), 0
+        )
         hdr_vals = jnp.concatenate(
             [
                 hdr_e0_val[None],
                 cl_len[cl_order],  # 19 x 3 bits
-                cl_code[jnp.clip(all_lens316, 0, 18)],  # 316 CL codes
+                op_vals,
             ]
         )
         hdr_nbs_dyn = jnp.concatenate(
             [
                 jnp.full((1,), 14, jnp.int32),
                 jnp.full((19,), 3, jnp.int32),
-                cl_len[jnp.clip(all_lens316, 0, 18)],
+                op_nbs,
             ]
         )
         dyn_hdr_bits = jnp.sum(hdr_nbs_dyn)
