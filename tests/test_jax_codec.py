@@ -194,3 +194,45 @@ class TestDynamicEncode:
         data = b"".join(corpus(m, 5000) for m in [1, 0])
         stream, index = api.compress_indexed(data, self.DYN)
         assert api.decompress_indexed(stream, index, self.DYN) == data
+
+
+class TestGzipMembers:
+    """Self-indexing multi-member gzip (BGZF-style): stock-compatible,
+    sidecar-free parallel decode."""
+
+    CFG = DeflateConfig(
+        window=32768, max_match=258, chunk_size=4096, lazy=True,
+        dynamic_encode=True,
+    )
+
+    def test_stock_gzip_reads_members(self):
+        import gzip as gz
+
+        data = b"".join(corpus(m, 6000) for m in [0, 1, 3])
+        g = api.compress_gzip_members(data, self.CFG)
+        assert gz.decompress(g) == data
+
+    def test_parallel_member_decode(self):
+        data = b"".join(corpus(m, 6000) for m in [0, 2, 3, 4])
+        g = api.compress_gzip_members(data, self.CFG)
+        assert api.decompress_gzip(g, self.CFG) == data
+
+    def test_foreign_gzip_fallback(self):
+        import gzip as gz
+
+        data = corpus(1, 5000)
+        assert api.decompress_gzip(gz.compress(data), self.CFG) == data
+
+    def test_member_crc_verified(self):
+        data = corpus(0, 9000)
+        g = bytearray(api.compress_gzip_members(data, self.CFG))
+        g[60] ^= 0x20
+        with pytest.raises(ValueError):
+            api.decompress_gzip(bytes(g), self.CFG)
+
+    def test_empty(self):
+        import gzip as gz
+
+        g = api.compress_gzip_members(b"", self.CFG)
+        assert gz.decompress(g) == b""
+        assert api.decompress_gzip(g, self.CFG) == b""

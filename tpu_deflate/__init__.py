@@ -21,8 +21,10 @@ from tpu_deflate.api import (
     StreamCompressor,
     compress,
     compress_gzip,
+    compress_gzip_members,
     compress_indexed,
     decompress,
+    decompress_gzip,
     decompress_indexed,
 )
 from tpu_deflate.config import (
@@ -48,8 +50,10 @@ __all__ = [
     "StreamCompressor",
     "compress",
     "compress_gzip",
+    "compress_gzip_members",
     "compress_indexed",
     "decompress",
+    "decompress_gzip",
     "decompress_indexed",
     "__version__",
 ]

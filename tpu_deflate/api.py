@@ -254,3 +254,143 @@ class StreamCompressor:
         prefix = b"" if self._header_sent else b"\x78\x9c"
         self._header_sent = True
         return prefix + body + self._adler.to_bytes(4, "big")
+
+
+# --- self-indexing multi-member gzip (BGZF-style) --------------------------
+#
+# Each chunk is a complete gzip member whose FEXTRA subfield 'TD' carries
+# the member's total byte length, so member boundaries are discovered by a
+# cheap header hop-scan and decode parallelizes with no sidecar index —
+# while stock gzip tools read the stream unchanged (RFC 1952 requires
+# readers to accept multi-member files and ignore unknown extra fields).
+
+_GZ_SUBFIELD = b"TD"
+
+
+def _gzip_member_header(member_len: int) -> bytes:
+    extra = _GZ_SUBFIELD + (4).to_bytes(2, "little") + member_len.to_bytes(4, "little")
+    return (
+        b"\x1f\x8b\x08\x04"  # magic, deflate, FLG=FEXTRA
+        + b"\x00\x00\x00\x00"  # mtime
+        + b"\x00\xff"  # xfl, os
+        + len(extra).to_bytes(2, "little")
+        + extra
+    )
+
+
+_GZ_HDR_LEN = 10 + 2 + 8  # base + xlen + subfield
+
+
+def compress_gzip_members(
+    data: bytes, config: DeflateConfig = DeflateConfig()
+) -> bytes:
+    """Multi-member gzip: one member per chunk, self-indexing via FEXTRA."""
+    arr, lengths = _chunk(data, config.chunk_size)
+    nchunks = arr.shape[0]
+    bpad = max(1, 1 << int(np.ceil(np.log2(nchunks))))
+    if bpad > nchunks:
+        arr = np.pad(arr, ((0, bpad - nchunks), (0, 0)))
+        lengths = np.pad(lengths, (0, bpad - nchunks))
+    finals = np.ones(bpad, dtype=bool)  # every member is a complete stream
+    out, out_lens, _ = encode_blocks_batch(
+        jnp.asarray(arr), jnp.asarray(lengths), jnp.asarray(finals), config
+    )
+    out = np.asarray(out)
+    out_lens = np.asarray(out_lens)
+    parts = []
+    pos = 0
+    for i in range(nchunks):
+        raw = data[pos : pos + int(lengths[i])]
+        pos += int(lengths[i])
+        body = out[i, : out_lens[i]].tobytes()
+        member_len = _GZ_HDR_LEN + len(body) + 8
+        parts.append(_gzip_member_header(member_len))
+        parts.append(body)
+        parts.append(crc32(raw).to_bytes(4, "little"))
+        parts.append((len(raw) & 0xFFFFFFFF).to_bytes(4, "little"))
+    return b"".join(parts)
+
+
+def _scan_gzip_members(data: bytes):
+    """Hop-scan member boundaries via the 'TD' FEXTRA subfield.
+    Returns list of (body_start, body_end, isize) or None if not ours."""
+    members = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\x1f\x8b" or len(data) < pos + _GZ_HDR_LEN:
+            return None
+        if data[pos + 3] != 0x04:
+            return None
+        xlen = int.from_bytes(data[pos + 10 : pos + 12], "little")
+        if xlen != 8 or data[pos + 12 : pos + 14] != _GZ_SUBFIELD:
+            return None
+        member_len = int.from_bytes(data[pos + 16 : pos + 20], "little")
+        body_start = pos + _GZ_HDR_LEN
+        body_end = pos + member_len - 8
+        isize = int.from_bytes(
+            data[pos + member_len - 4 : pos + member_len], "little"
+        )
+        if body_end <= body_start or pos + member_len > n:
+            return None
+        members.append((body_start, body_end, isize))
+        pos += member_len
+    return members
+
+
+def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> bytes:
+    """gzip decompress: chunk-parallel for self-indexing members, member-
+    by-member device decode otherwise."""
+    import jax
+
+    from tpu_deflate.ops.decode import expand, tokenize
+    from tpu_deflate.spec.checksum import crc32 as _crc
+
+    members = _scan_gzip_members(data)
+    if members is None:
+        # foreign gzip: sequential member walk on device
+        from tpu_deflate.ref.inflate import gzip_decompress as _host_gzip
+
+        return _host_gzip(data)
+
+    chunk = config.chunk_size
+    if any(isize > chunk for (_s, _e, isize) in members):
+        raise ValueError("member larger than config.chunk_size")
+    nm = len(members)
+    m_pad = max(1 << 12, 1 << int(np.ceil(np.log2(max(len(data), 2)))))
+    buf = np.zeros(m_pad, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    dbuf = jnp.asarray(buf)
+    bpad = max(1, 1 << int(np.ceil(np.log2(nm))))
+    starts = np.full(bpad, 8 * len(data), np.int64)
+    ends = np.full(bpad, 8 * len(data), np.int64)
+    for i, (s, e, _) in enumerate(members):
+        starts[i] = 8 * s
+        ends[i] = 8 * e
+    tok_cap = chunk + 16
+
+    def one(s, e):
+        tk, ta, tb, tp, _tot, _pos, err = tokenize(
+            dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=1 << 15, stop_at_eob=True
+        )
+        o, total = expand(dbuf, tk, ta, tb, tp, out_cap=chunk)
+        return o, total, err
+
+    outs, totals, errs = jax.jit(jax.vmap(one))(
+        jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32)
+    )
+    errs = np.asarray(errs)[:nm]
+    if (errs != 0).any():
+        raise ValueError(f"inflate error codes {errs[errs != 0][:8]}")
+    outs_h = np.asarray(outs)[:nm]
+    totals_h = np.asarray(totals)[:nm]
+    parts = []
+    for i, (s, e, isize) in enumerate(members):
+        piece = outs_h[i, : totals_h[i]].tobytes()
+        if len(piece) != isize:
+            raise ValueError(f"member {i} ISIZE mismatch")
+        expect = int.from_bytes(data[e : e + 4], "little")
+        if _crc(piece) != expect:
+            raise ValueError(f"member {i} CRC-32 mismatch")
+        parts.append(piece)
+    return b"".join(parts)
