@@ -114,33 +114,27 @@ def main():
         "device": str(jax.devices()[0]),
     }
 
-    # --- decode (chunk-parallel, indexed); optional --------------------
+    # --- decode (chunk-parallel, straight from the encoder's rows) -----
     try:
-        offsets = np.concatenate([[0], np.cumsum(sizes_h)]).astype(np.int64)
-        m_pad = 1 << int(np.ceil(np.log2(max(len(body), 2))))
-        buf = np.zeros(m_pad, np.uint8)
-        buf[: len(body)] = np.frombuffer(body, np.uint8)
-        dbuf = jnp.asarray(buf)
-        dstarts = jnp.asarray(8 * offsets[:-1], jnp.int32)
-        dends = jnp.asarray(8 * offsets[1:], jnp.int32)
+        dends = (8 * sizes).astype(jnp.int32)
         tok_cap = chunk + 16
 
-        def one(s, e):
+        def one(row, e):
             tk, ta, tb, tp, _tot, _pos, err = tokenize(
-                dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=1 << 15,
+                row, 0, tok_cap=tok_cap, end_bit=e, pwin=1 << 18,
                 stop_at_eob=True,
             )
-            o, total = expand(dbuf, tk, ta, tb, tp, out_cap=chunk)
+            o, total = expand(row, tk, ta, tb, tp, out_cap=chunk)
             return o, total, err
 
         dec = jax.jit(jax.vmap(one))
         t0 = time.perf_counter()
-        outs, totals, errs = dec(dstarts, dends)
+        outs, totals, errs = dec(out, dends)
         jax.block_until_ready(outs)
         log(f"decode compiled+ran in {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for _ in range(reps):
-            outs, totals, errs = dec(dstarts, dends)
+            outs, totals, errs = dec(out, dends)
         jax.block_until_ready(outs)
         dec_s = (time.perf_counter() - t0) / reps
         dec_gbps = size / dec_s / 1e9

@@ -27,6 +27,7 @@ from tpu_deflate.api import (
     decompress_gzip,
     decompress_indexed,
 )
+from tpu_deflate.ref.inflate import DeflateError
 from tpu_deflate.config import (
     DEFAULT,
     DECOMPRESS_ONLY,
@@ -41,6 +42,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "DeflateConfig",
+    "DeflateError",
     "DEFAULT",
     "DECOMPRESS_ONLY",
     "FAST_CONFIG",

@@ -1,4 +1,4 @@
-"""TPU-native DEFLATE decoder (jittable, static shapes).
+"""TPU-native DEFLATE decoder (jittable, static shapes, gather-free hot path).
 
 Reinterprets the reference's 28-state decode FSM
 (/root/reference/deflate.py:656-1659) in two stages:
@@ -8,29 +8,38 @@ Reinterprets the reference's 28-state decode FSM
   k.  The reference spends 1+ cycles per symbol on this chain
   (NEXT/D_NEXT, deflate.py:1402-1517).  Here we instead decode a
   *candidate* symbol at EVERY bit position of the block — one vectorized
-  sweep of table lookups (the candidate at a non-boundary position is
-  garbage, but computing it is free parallelism on the VPU) — giving a
-  jump array next[p] = p + symbol_bits(p).  The true symbol boundaries
-  are the orbit of the block's start bit under next[], found in
-  O(log window) pointer-doubling rounds.  Tokens are then emitted in
-  order with a prefix-sum scatter.  EOB positions self-loop, which both
-  terminates the chase and marks the block end.  Block headers, stored
-  blocks and dynamic-table builds run in a cheap outer per-block loop.
+  sweep — giving a jump array next[p] = p + symbol_bits(p).  The true
+  symbol boundaries are the orbit of the block's start bit under next[].
 
-  Symbol decode itself is a single full-table lookup: the reference's
-  instant-lookup ``leaves``/``d_leaves`` RAMs + SPREAD replication
-  (deflate.py:1204-1400) built to the full 15-bit depth (32768 entries,
-  the same RAM size), so the widen-on-miss path (deflate.py:1423-1430)
-  does not exist.  Dynamic-tree builds (BL/READBL/REPEAT/HF1..SPREAD) are
-  vectorized: canonical assignment by sort + prefix sums, and the spread
-  table by bit-reversal + searchsorted over left-aligned code ranges —
-  O(1) depth instead of the reference's 3x32768 cycles per dynamic block.
+  TPU-native detail (measured on v5e): XLA gathers/scatters run at only
+  ~100M indices/s while elementwise VPU work is ~free, so unlike a GPU
+  design nothing in the hot path may gather:
 
-  Stage 2 — expand.  Tokens become output bytes entirely in parallel:
-  output offsets by prefix sum, token ownership by searchsorted, and
-  back-references (including overlapping dist<len runs, the off1/off2
-  special cases at deflate.py:1630-1652) resolved by pointer-doubling to
-  each position's literal root in log2(N) rounds.
+  * Bitstream peeks build per-position 64-bit windows from *consecutive*
+    byte slices + variable shifts (replaces the reference's ``get4``
+    barrel shifter, deflate.py:517-533) — zero gathers.
+  * Symbol decode is COMPARISON-BASED canonical Huffman: a code's length
+    is the first L whose left-aligned limit exceeds the 15 peeked
+    (bit-reversed) bits — 15 vector compares against per-block scalars —
+    then rank arithmetic and a one-hot multiply-reduce over the <=288
+    per-rank metadata table.  This replaces the reference's 32768-entry
+    instant-lookup ``leaves`` RAM + SPREAD replication
+    (deflate.py:1204-1400) with no table at all, and makes the dynamic
+    table "build" (HF1..SPREAD, 3x32768 cycles in the reference) a
+    handful of 16-element scans.
+  * The boundary chase runs on 64-bit tiles in a (64, T) layout: each
+    tile's entry-phase→exit-phase transfer map is computed by pointer
+    doubling with value-SELECT loops (64 predicated row-selects, no
+    gather), maps are composed up a binary hierarchy, entry phases
+    descend back down, and a final 64-step walk marks true boundaries.
+    Jump advances are <=48 bits, so tile entry phases live in [0,48).
+
+  Stage 2 — expand.  Tokens become output bytes in parallel: output
+  offsets by prefix sum, per-byte ownership by scatter-at-segment-start +
+  monotone cummax forward-fill (no searchsorted), and back-references
+  (including overlapping dist<len runs, the off1/off2 special cases at
+  deflate.py:1630-1652) resolved by pointer-doubling to each byte's
+  literal root with an early-exit loop.
 """
 
 from __future__ import annotations
@@ -49,6 +58,7 @@ TABLE_BITS = 15
 TABLE_SIZE = 1 << TABLE_BITS
 CL_BITS = 7
 MAX_SYMS = 320  # 288 lit/len + 32 dist
+MAX_ADV = 48  # 15 (lit code) + 5 (len extra) + 15 (dist code) + 13 (dist extra)
 
 # error codes
 ERR_OK = 0
@@ -60,8 +70,26 @@ ERR_OVERFLOW = 5
 ERR_STORED = 6
 ERR_INPUT = 7
 
-_STATIC_LIT_TABLE = np.asarray(build_decode_table(T.STATIC_LITLEN_LENGTHS, TABLE_BITS))
-_STATIC_DIST_TABLE = np.asarray(build_decode_table(T.STATIC_DIST_LENGTHS, TABLE_BITS))
+# candidate kinds packed into the per-position plane
+K_LIT = 0
+K_EOB = 1
+K_MATCH = 2
+K_BAD = 3
+
+# token kinds
+TK_LIT = 0
+TK_MATCH = 1
+TK_STORED = 2
+
+# FSM modes (outer, per-block loop only — there is no per-symbol loop)
+M_HEADER = 0
+M_CLLEN = 1
+M_TABLES = 2
+M_TOKENS = 3
+M_DONE = 4
+M_ERROR = 5
+
+_STOP = 191  # chase sentinel: chain terminated (EOB/bad) inside an earlier tile
 
 
 def _revbits15_vec(x: jax.Array) -> jax.Array:
@@ -74,60 +102,132 @@ def _revbits15_vec(x: jax.Array) -> jax.Array:
     return x.astype(jnp.int32)
 
 
-def build_table_jax(lengths: jax.Array, table_bits: int) -> jax.Array:
-    """Vectorized canonical-Huffman instant-lookup table build.
+# ---------------------------------------------------------------------------
+# Comparison-decode parameters (replaces the leaves/d_leaves instant tables)
+# ---------------------------------------------------------------------------
+#
+# For a canonical Huffman tree, the 15-bit MSB-first (bit-reversed wire)
+# prefix v of a code of length L satisfies
+#     lim[L-1] <= v < lim[L],  lim[L] = (next_code[L] + count[L]) << (15-L)
+# with lim monotonically non-decreasing, so L = min{l : v < lim[l]}.
+# The symbol is then  meta[rank],  rank = (v >> (15-L)) + rd[L],
+# rd[L] = (#codes shorter than L) - next_code[L].
 
-    lengths: int32[S] code lengths (0 = absent).  Returns
-    int32[2**table_bits] of packed leaves (sym << 4 | nbits), 0 = invalid.
+
+def _pack_lit_meta(sym: np.ndarray | jax.Array, xp=np):
+    """kind(2)<<16 | extra_bits(3)<<12 | base(12) per lit/len symbol."""
+    lb = xp.asarray(T.LENGTH_BASE)
+    le = xp.asarray(T.LENGTH_EXTRA_BITS)
+    li = xp.clip(sym - 257, 0, 28)
+    is_lit = sym < 256
+    is_eob = sym == 256
+    bad = sym - 257 >= 29
+    kind = xp.where(is_lit, K_LIT, xp.where(is_eob, K_EOB, xp.where(bad, K_BAD, K_MATCH)))
+    base = xp.where(is_lit, sym, xp.where(kind == K_MATCH, lb[li], 0))
+    ebits = xp.where(kind == K_MATCH, le[li], 0)
+    return (kind << 16) | (ebits << 12) | base
+
+
+def _pack_dist_meta(sym, xp=np):
+    """extra_bits(4)<<16 | dist_base(16); -1 for invalid symbols (>=30)."""
+    db = xp.asarray(T.DIST_BASE)
+    de = xp.asarray(T.DIST_EXTRA_BITS)
+    di = xp.clip(sym, 0, 29)
+    meta = (de[di] << 16) | db[di]
+    return xp.where(sym >= 30, -1, meta)
+
+
+def _canon_params_np(lengths: np.ndarray, n_meta: int, pack) -> tuple:
+    """Host-side canonical params for a static tree: (lim16, rd16, meta)."""
+    lengths = np.asarray(lengths, np.int64)
+    S = len(lengths)
+    bl_count = np.bincount(np.clip(lengths, 0, 15), minlength=16)
+    bl_count[0] = 0
+    next_code = np.zeros(16, np.int64)
+    code = 0
+    for L in range(1, 16):
+        code = (code + bl_count[L - 1]) << 1
+        next_code[L] = code
+    cum_before = np.concatenate([[0], np.cumsum(bl_count)[:-1]])
+    lim = np.zeros(16, np.int64)
+    for L in range(1, 16):
+        lim[L] = (next_code[L] + bl_count[L]) << (15 - L)
+        lim[L] = max(lim[L], lim[L - 1])
+    rd = cum_before - next_code
+    # rank of each valid symbol; meta by rank
+    meta = np.full(n_meta, (K_BAD << 16) if pack is _pack_lit_meta else -1, np.int64)
+    order = sorted((L, s) for s, L in enumerate(lengths) if L > 0)
+    for r, (_L, s) in enumerate(order):
+        meta[r] = pack(np.int64(s))
+    return (
+        lim.astype(np.int32),
+        rd.astype(np.int32),
+        meta.astype(np.int32),
+    )
+
+
+_S_LIT_LIM, _S_LIT_RD, _S_LIT_META = _canon_params_np(
+    T.STATIC_LITLEN_LENGTHS, 288, _pack_lit_meta
+)
+_S_DIST_LIM, _S_DIST_RD, _S_DIST_META = _canon_params_np(
+    T.STATIC_DIST_LENGTHS, 32, _pack_dist_meta
+)
+
+
+def _canon_params_jax(lengths: jax.Array, n_meta: int, pack_fn):
+    """Vectorized canonical params for a dynamic tree built per block.
+
+    lengths: int32[S].  Returns (lim[16], rd[16], meta[n_meta], oversub).
+    O(1)-depth replacement for the reference's HF1..SPREAD table build
+    (deflate.py:1204-1400).
     """
     S = lengths.shape[0]
-    sym_idx = jnp.arange(S, dtype=jnp.int32)
-    valid = lengths > 0
-    # canonical order: by (length, symbol); invalid symbols sort last
-    order = jnp.argsort(jnp.where(valid, lengths, 99) * S + sym_idx)
-    len_sorted = lengths[order]
-    valid_sorted = len_sorted > 0
-
-    # histogram + RFC 1951 next_code recurrence
+    valid = (lengths > 0) & (lengths <= 15)
     ones = valid.astype(jnp.int32)
-    bl_count = jnp.zeros((17,), jnp.int32).at[jnp.clip(lengths, 0, 16)].add(ones)
+    Lc = jnp.clip(lengths, 0, 15)
+    bl_count = jnp.zeros((16,), jnp.int32).at[Lc].add(ones, mode="drop")
+    bl_count = bl_count.at[0].set(0)
 
     def nc_step(carry, blc):
         code = (carry + blc) << 1
         return code, code
 
-    _, nc = jax.lax.scan(nc_step, jnp.int32(0), bl_count[:16])
-    next_code = jnp.concatenate([jnp.zeros((1,), jnp.int32), nc])  # [17]
-
-    # rank within equal-length run (sorted order groups lengths)
-    cum_before = jnp.cumsum(bl_count) - bl_count  # syms with shorter length
-    pos_sorted = jnp.arange(S, dtype=jnp.int32)
-    rank = pos_sorted - cum_before[jnp.clip(len_sorted, 0, 16)]
-    code_sorted = next_code[jnp.clip(len_sorted, 0, 16)] + rank
-
-    # left-aligned (MSB-first) start of each code's cover range
-    start_sorted = jnp.where(
-        valid_sorted,
-        code_sorted << (table_bits - len_sorted),
-        jnp.int32(1 << table_bits),
+    _, nc = jax.lax.scan(nc_step, jnp.int32(0), bl_count[:15])
+    next_code = jnp.concatenate([jnp.zeros((1,), jnp.int32), nc])  # [16]
+    cum_before = jnp.cumsum(bl_count) - bl_count
+    lim = jnp.where(
+        jnp.arange(16) > 0,
+        (next_code + bl_count) << jnp.clip(15 - jnp.arange(16), 0, 15),
+        0,
     )
-
-    t = jnp.arange(1 << table_bits, dtype=jnp.int32)
-    m = _revbits15_vec(t) >> (16 - table_bits)
-    k = jnp.clip(jnp.searchsorted(start_sorted, m, side="right") - 1, 0, S - 1)
-    nb = len_sorted[k]
-    covered = (
-        (nb > 0)
-        & (nb <= table_bits)
-        & (m - start_sorted[k] < (1 << jnp.clip(table_bits - nb, 0, table_bits)))
+    lim = jax.lax.associative_scan(jnp.maximum, lim)  # enforce monotone
+    rd = cum_before - next_code
+    # Kraft sum in units of 2^-15: oversubscribed trees are invalid input
+    kraft = jnp.sum(jnp.where(valid, 1 << jnp.clip(15 - Lc, 0, 15), 0))
+    oversub = kraft > (1 << 15)
+    # rank per symbol: #shorter codes + #same-length codes at smaller index
+    Ls = jnp.arange(1, 16, dtype=jnp.int32)  # (15,)
+    eq = (lengths[None, :] == Ls[:, None]) & valid[None, :]  # (15, S)
+    within = jnp.cumsum(eq.astype(jnp.int32), axis=1) - eq  # exclusive
+    rank_within = jnp.sum(jnp.where(eq, within, 0), axis=0)
+    rank = cum_before[Lc] + rank_within
+    sym = jnp.arange(S, dtype=jnp.int32)
+    bad_fill = (K_BAD << 16) if pack_fn is _pack_lit_meta else -1
+    meta = jnp.full((n_meta,), bad_fill, jnp.int32)
+    meta = meta.at[jnp.where(valid, rank, n_meta)].set(
+        pack_fn(sym, xp=jnp).astype(jnp.int32), mode="drop"
     )
-    leaf = (order[k] << 4) | nb
-    return jnp.where(covered, leaf, 0)
+    return lim, rd, meta, oversub
+
+
+# ---------------------------------------------------------------------------
+# Scalar bit peek (outer loop: headers / code-length decode only)
+# ---------------------------------------------------------------------------
 
 
 def _peek_bits(data_u32: jax.Array, pos: jax.Array, nbits) -> jax.Array:
     """Peek up to 24 bits at absolute bit position(s) `pos` (elementwise —
-    works for scalar or vector pos)."""
+    scalar or vector pos).  Gathers, so hot paths must not use it."""
     byte0 = pos >> 3
     sh = (pos & 7).astype(jnp.uint32)
     M = data_u32.shape[0]
@@ -148,18 +248,240 @@ def _peek_bits(data_u32: jax.Array, pos: jax.Array, nbits) -> jax.Array:
     return (v & mask).astype(jnp.int32)
 
 
-# token kinds
-TK_LIT = 0
-TK_MATCH = 1
-TK_STORED = 2
+def build_table_jax(lengths: jax.Array, table_bits: int) -> jax.Array:
+    """Vectorized canonical-Huffman instant-lookup table build (small
+    tables only — used for the 7-bit code-length tree of dynamic headers).
 
-# FSM modes (outer, per-block loop only — there is no per-symbol loop)
-M_HEADER = 0
-M_CLLEN = 1
-M_TABLES = 2
-M_TOKENS = 3
-M_DONE = 4
-M_ERROR = 5
+    lengths: int32[S] code lengths (0 = absent).  Returns
+    int32[2**table_bits] of packed leaves (sym << 4 | nbits), 0 = invalid.
+    """
+    S = lengths.shape[0]
+    sym_idx = jnp.arange(S, dtype=jnp.int32)
+    valid = lengths > 0
+    order = jnp.argsort(jnp.where(valid, lengths, 99) * S + sym_idx)
+    len_sorted = lengths[order]
+    valid_sorted = len_sorted > 0
+
+    ones = valid.astype(jnp.int32)
+    bl_count = jnp.zeros((17,), jnp.int32).at[jnp.clip(lengths, 0, 16)].add(ones)
+
+    def nc_step(carry, blc):
+        code = (carry + blc) << 1
+        return code, code
+
+    _, nc = jax.lax.scan(nc_step, jnp.int32(0), bl_count[:16])
+    next_code = jnp.concatenate([jnp.zeros((1,), jnp.int32), nc])  # [17]
+
+    cum_before = jnp.cumsum(bl_count) - bl_count
+    pos_sorted = jnp.arange(S, dtype=jnp.int32)
+    rank = pos_sorted - cum_before[jnp.clip(len_sorted, 0, 16)]
+    code_sorted = next_code[jnp.clip(len_sorted, 0, 16)] + rank
+
+    start_sorted = jnp.where(
+        valid_sorted,
+        code_sorted << (table_bits - len_sorted),
+        jnp.int32(1 << table_bits),
+    )
+
+    t = jnp.arange(1 << table_bits, dtype=jnp.int32)
+    m = _revbits15_vec(t) >> (16 - table_bits)
+    k = jnp.clip(jnp.searchsorted(start_sorted, m, side="right") - 1, 0, S - 1)
+    nb = len_sorted[k]
+    covered = (
+        (nb > 0)
+        & (nb <= table_bits)
+        & (m - start_sorted[k] < (1 << jnp.clip(table_bits - nb, 0, table_bits)))
+    )
+    leaf = (order[k] << 4) | nb
+    return jnp.where(covered, leaf, 0)
+
+
+# ---------------------------------------------------------------------------
+# Gather-free candidate plane + boundary chase
+# ---------------------------------------------------------------------------
+
+
+def _select_rows(table: jax.Array, idx: jax.Array, nrows: int) -> jax.Array:
+    """result[...] = table[idx[...], ...] via predicated row selects (no
+    gather).  table: (nrows, C); idx values outside [0, nrows) keep their
+    own value (used to freeze terminated chase chains)."""
+    acc = idx
+    for v in range(nrows):
+        acc = jnp.where(idx == v, table[v, :], acc)
+    return acc
+
+
+def _select_small(meta: jax.Array, idx: jax.Array, K: int) -> jax.Array:
+    """meta[idx] for a small table via one-hot multiply-reduce (no gather;
+    XLA fuses the broadcast-compare into the reduction).  Callers must
+    mask lanes whose idx was clipped."""
+    k = jnp.arange(K, dtype=jnp.int32)
+    return jnp.sum(jnp.where(idx[..., None] == k, meta, 0), axis=-1)
+
+
+def _select16(vals: jax.Array, idx: jax.Array) -> jax.Array:
+    """vals[idx] for a 16-entry vector of per-block scalars."""
+    acc = jnp.zeros_like(idx)
+    for L in range(16):
+        acc = jnp.where(idx == L, vals[L], acc)
+    return acc
+
+
+def _candidate_plane(
+    data: jax.Array,
+    base: jax.Array,
+    pwin: int,
+    end_bit: jax.Array,
+    lit_lim, lit_rd, lit_meta, dist_lim, dist_rd, dist_meta,
+):
+    """Decode a candidate symbol at every bit position [base, base+pwin).
+
+    Returns a packed int32 plane per position:
+        kind(2)<<30 | adv(6)<<24 | ta(9)<<15 | (dist-1)(15)
+    kind: K_LIT (ta=byte), K_EOB (adv=nb), K_MATCH (ta=len, tb=dist),
+    K_BAD.  adv = total bits consumed by the symbol (<= MAX_ADV).
+    Entirely elementwise: byte windows from consecutive slices, code
+    lengths by comparison, metadata by one-hot reduce.
+    """
+    U = pwin // 8 + 1
+    byte0 = base >> 3
+    r0 = base & 7
+    nslice = U + 8
+    b = jax.lax.dynamic_slice(data, (byte0,), (nslice,)).astype(jnp.uint32)
+    lo = b[0:U] | (b[1:U + 1] << 8) | (b[2:U + 2] << 16) | (b[3:U + 3] << 24)
+    hi = b[4:U + 4] | (b[5:U + 5] << 8) | (b[6:U + 6] << 16) | (b[7:U + 7] << 24)
+    # (8, U) grids: row r = bit phase within byte; q = 8w + r
+    lo = lo[None, :]
+    hi = hi[None, :]
+    r = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def get(shift, nbits):
+        """nbits (<=15) at bit offset q+shift; shift may be (8,U) or (8,1).
+        Max total shift is 7+42=49, end 49+15=64 — fits the 64-bit window."""
+        s = (r + shift).astype(jnp.uint32)
+        s2 = s & 31
+        a = (lo >> s2) | ((hi << (31 - s2)) << 1)
+        v = jnp.where(s < 32, a, hi >> s2).astype(jnp.uint32)
+        if isinstance(nbits, int):
+            mask = jnp.uint32((1 << nbits) - 1)
+        else:
+            mask = (jnp.uint32(1) << nbits.astype(jnp.uint32)) - 1
+        return (v & mask).astype(jnp.int32)
+
+    # --- literal/length code: length by comparison, rank arithmetic ----
+    v15 = _revbits15_vec(get(0, 15)) >> 1  # rev16 of a 15-bit value / 2
+    cnt = jnp.zeros((8, U), jnp.int32)
+    for L in range(1, 16):
+        cnt = cnt + (v15 < lit_lim[L])
+    nb = 16 - cnt  # 16 => invalid code
+    nbc = jnp.clip(nb, 1, 15)
+    rank = (v15 >> (15 - nbc)) + _select16(lit_rd, nbc)
+    meta = _select_small(lit_meta, jnp.clip(rank, 0, lit_meta.shape[0] - 1), lit_meta.shape[0])
+    kind = (meta >> 16) & 3
+    ebits = (meta >> 12) & 7
+    basev = meta & 0xFFF
+    bad_rank = (rank < 0) | (rank >= lit_meta.shape[0])
+    kind = jnp.where((nb > 15) | bad_rank, K_BAD, kind)
+
+    is_m = kind == K_MATCH
+    lext = get(nbc, 5) & ((1 << ebits) - 1)
+    length = basev + lext
+
+    # --- distance code at offset nb+ebits (match candidates only) ------
+    doff = nbc + ebits
+    dv15 = _revbits15_vec(get(doff, 15)) >> 1
+    dcnt = jnp.zeros((8, U), jnp.int32)
+    for L in range(1, 16):
+        dcnt = dcnt + (dv15 < dist_lim[L])
+    dnb = 16 - dcnt
+    dnbc = jnp.clip(dnb, 1, 15)
+    drank = (dv15 >> (15 - dnbc)) + _select16(dist_rd, dnbc)
+    dmeta = _select_small(
+        dist_meta, jnp.clip(drank, 0, dist_meta.shape[0] - 1), dist_meta.shape[0]
+    )
+    bad_d = (dnb > 15) | (drank < 0) | (drank >= dist_meta.shape[0]) | (dmeta < 0)
+    debits = (dmeta >> 16) & 0xF
+    dbase = dmeta & 0xFFFF
+    dext = get(doff + dnbc, 13) & ((1 << debits) - 1)
+    dist = dbase + dext
+
+    kind = jnp.where(is_m & bad_d, K_BAD, kind)
+    is_m = kind == K_MATCH
+    adv = jnp.where(is_m, nbc + ebits + dnbc + debits, jnp.where(kind == K_BAD, 1, nbc))
+    ta = jnp.where(kind == K_LIT, basev, jnp.where(is_m, length, 0))
+    tbm1 = jnp.where(is_m, dist - 1, 0)
+
+    # out-of-bounds positions (q + r0-shift >= end) are K_BAD
+    q = 8 * jax.lax.broadcasted_iota(jnp.int32, (8, U), 1) + jax.lax.broadcasted_iota(
+        jnp.int32, (8, U), 0
+    )
+    p_abs = 8 * byte0 + q
+    oob = p_abs >= end_bit
+    kind = jnp.where(oob, K_BAD, kind)
+    adv = jnp.where(oob, 1, adv)
+
+    plane = (kind << 30) | (adv << 24) | (ta << 15) | tbm1
+    # interleave phases: flat[q] = plane[q&7, q>>3]; then align to base
+    flat = plane.T.reshape(-1)  # (8U,) indexed by q
+    return jax.lax.dynamic_slice(flat, (r0,), (pwin,))
+
+
+def _chase(plane: jax.Array, pwin: int):
+    """Boundary chase: positions reachable from rel=0 under the jump map.
+
+    plane: packed candidates (pwin,).  Returns reach: bool (pwin,).
+    Select-based (gather-free) hierarchical transfer-map composition over
+    64-bit tiles — the TPU replacement for per-symbol FSM stepping."""
+    T64 = pwin // 64
+    kind = (plane >> 30) & 3
+    adv = (plane >> 24) & 0x3F
+    term = (kind == K_EOB) | (kind == K_BAD)
+    # (64, T) layout: tiles as columns so selects are row slices
+    advT = adv.reshape(T64, 64).T
+    termT = term.reshape(T64, 64).T
+    e = jax.lax.broadcasted_iota(jnp.int32, (64, T64), 0)
+    m0 = jnp.where(termT, 255, e + advT)  # one-step map; >=64 = exited
+
+    # within-tile pointer doubling: 6 rounds, all chains exit or stop
+    def dbl(_, m):
+        return jnp.where(m < 64, _select_rows(m, m, 64), m)
+
+    m = jax.lax.fori_loop(0, 6, dbl, m0)
+    phi = jnp.where(m >= 128, _STOP, m - 64)  # entry->next-tile phase, [0,48)
+
+    # binary hierarchy of composed maps (finest first)
+    levels = [phi]
+    while levels[-1].shape[1] > 1:
+        cur = levels[-1]
+        even = cur[:, 0::2]
+        odd = cur[:, 1::2]
+        comp = jnp.where(even < 64, _select_rows(odd, even, 64), even)
+        levels.append(comp)
+
+    # descend: entry phase at the start of every tile
+    ent = jnp.zeros((1,), jnp.int32)  # chase starts at rel 0, phase 0
+    for lvl in range(len(levels) - 2, -1, -1):
+        even_maps = levels[lvl][:, 0::2]  # (64, T_k/2... matches ent)
+        ent_odd = ent
+        for v in range(64):
+            ent_odd = jnp.where(ent == v, even_maps[v, :], ent_odd)
+        ent = jnp.stack([ent, ent_odd], axis=1).reshape(-1)
+    # ent: (T64,) entry phase per tile ([0,48) or _STOP)
+
+    # final walk: mark every visited phase (the true symbol boundaries)
+    def step(_, carry):
+        cur, visited = carry
+        active = cur < 64
+        visited = visited | (active[None, :] & (e == cur[None, :]))
+        nxt = cur
+        for v in range(64):
+            nxt = jnp.where(cur == v, m0[v, :], nxt)
+        return nxt, visited
+
+    _, visited = jax.lax.fori_loop(
+        0, 64, step, (ent, jnp.zeros((64, T64), bool))
+    )
+    return visited.T.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("tok_cap", "pwin", "stop_at_eob"))
@@ -168,7 +490,7 @@ def tokenize(
     start_bit: jax.Array,
     tok_cap: int,
     end_bit: jax.Array | None = None,
-    pwin: int = 1 << 19,
+    pwin: int = 1 << 18,
     stop_at_eob: bool = False,
 ):
     """Stage 1: bitstream -> token arrays.
@@ -181,19 +503,17 @@ def tokenize(
     Returns (tk, ta, tb, tp, out_total, end_pos, err).
     """
     M = data.shape[0]
-    d32 = data.astype(jnp.uint32)
+    # pad so window slicing near the stream end never clamps
+    data_ext = jnp.pad(data, (0, pwin // 8 + 16))
+    d32 = data_ext.astype(jnp.uint32)
     nbits_total = 8 * M
     if end_bit is None:
         end_bit = jnp.int32(nbits_total)
     else:
         end_bit = jnp.asarray(end_bit, jnp.int32)
 
-    lit_static = jnp.asarray(_STATIC_LIT_TABLE)
-    dist_static = jnp.asarray(_STATIC_DIST_TABLE)
     len_base = jnp.asarray(T.LENGTH_BASE)
     len_extra = jnp.asarray(T.LENGTH_EXTRA_BITS)
-    dist_base = jnp.asarray(T.DIST_BASE)
-    dist_extra = jnp.asarray(T.DIST_EXTRA_BITS)
     cl_order = jnp.asarray(T.CODE_LENGTH_ORDER)
 
     def peek(pos, nb):
@@ -206,8 +526,12 @@ def tokenize(
         hlit=jnp.int32(0),
         hdist=jnp.int32(0),
         cl_idx=jnp.int32(0),
-        lit_tab=lit_static,
-        dist_tab=dist_static,
+        lit_lim=jnp.asarray(_S_LIT_LIM),
+        lit_rd=jnp.asarray(_S_LIT_RD),
+        lit_meta=jnp.asarray(_S_LIT_META),
+        dist_lim=jnp.asarray(_S_DIST_LIM),
+        dist_rd=jnp.asarray(_S_DIST_RD),
+        dist_meta=jnp.asarray(_S_DIST_META),
         cl_tab=jnp.zeros((1 << CL_BITS,), jnp.int32),
         lengths=jnp.zeros((MAX_SYMS,), jnp.int32),
         tk=jnp.zeros((tok_cap,), jnp.int32),
@@ -254,8 +578,12 @@ def tokenize(
                 s,
                 pos=pos3,
                 bfinal=bfinal,
-                lit_tab=lit_static,
-                dist_tab=dist_static,
+                lit_lim=jnp.asarray(_S_LIT_LIM),
+                lit_rd=jnp.asarray(_S_LIT_RD),
+                lit_meta=jnp.asarray(_S_LIT_META),
+                dist_lim=jnp.asarray(_S_DIST_LIM),
+                dist_rd=jnp.asarray(_S_DIST_RD),
+                dist_meta=jnp.asarray(_S_DIST_META),
                 mode=jnp.int32(M_TOKENS),
             )
 
@@ -334,85 +662,69 @@ def tokenize(
         )
 
     def tables_fn(s):
-        """Build the block's lit/dist instant-lookup tables (once per
-        dynamic block)."""
+        """Per-block comparison-decode params from the decoded lengths —
+        replaces the reference's 3x32768-cycle HF1..SPREAD builds."""
         sidx = jnp.arange(MAX_SYMS, dtype=jnp.int32)
         lengths_ = s["lengths"]
         hlit = s["hlit"]
         lit_lengths = jnp.where(sidx < hlit, lengths_, 0)
         dl = lengths_[jnp.clip(hlit + sidx, 0, MAX_SYMS - 1)]
         dist_lengths = jnp.where(sidx < s["hdist"], dl, 0)
+        llim, lrd, lmeta, lover = _canon_params_jax(lit_lengths, 288, _pack_lit_meta)
+        dlim, drd, dmeta, dover = _canon_params_jax(dist_lengths, 32, _pack_dist_meta)
+        bad = lover | dover
         return dict(
             s,
-            lit_tab=build_table_jax(lit_lengths, TABLE_BITS),
-            dist_tab=build_table_jax(dist_lengths, TABLE_BITS),
-            mode=jnp.int32(M_TOKENS),
+            lit_lim=llim,
+            lit_rd=lrd,
+            lit_meta=lmeta,
+            dist_lim=dlim,
+            dist_rd=drd,
+            dist_meta=dmeta,
+            mode=jnp.where(bad, jnp.int32(M_ERROR), jnp.int32(M_TOKENS)),
+            err=jnp.where(bad, jnp.int32(ERR_BAD_CODE), s["err"]),
         )
 
     # -------- the parallel boundary-chase over one window ----------------
     def block_pass(s):
         base = s["pos"]
         rel = jnp.arange(pwin, dtype=jnp.int32)
-        p_abs = base + rel
-        oob = p_abs >= end_bit
+        plane = _candidate_plane(
+            data_ext, base, pwin, end_bit,
+            s["lit_lim"], s["lit_rd"], s["lit_meta"],
+            s["dist_lim"], s["dist_rd"], s["dist_meta"],
+        )
+        reach = _chase(plane, pwin)
 
-        # candidate symbol decode at EVERY bit position (vectorized)
-        leaf = s["lit_tab"][peek(p_abs, TABLE_BITS)]
-        nb = leaf & 0xF
-        sym = leaf >> 4
-        is_eob = (sym == 256) & (nb > 0)
-        is_match_c = (sym > 256) & (nb > 0)
-        is_lit = (sym < 256) & (nb > 0)
-
-        li = jnp.clip(sym - 257, 0, 28)
-        bad_sym = is_match_c & (sym - 257 >= 29)
-        leb = len_extra[li]
-        lext = peek(p_abs + nb, 5) & ((1 << leb) - 1)
-        length = len_base[li] + lext
-        dpos = p_abs + nb + leb
-        dleaf = s["dist_tab"][peek(dpos, TABLE_BITS)]
-        dnb = dleaf & 0xF
-        dsym = jnp.clip(dleaf >> 4, 0, 29)
-        bad_d = is_match_c & ((dnb == 0) | ((dleaf >> 4) >= 30))
-        deb = dist_extra[dsym]
-        dext = peek(dpos + dnb, 13) & ((1 << deb) - 1)
-        dist = dist_base[dsym] + dext
-
-        bad = (nb == 0) | bad_sym | bad_d | oob
-        adv = nb + jnp.where(is_match_c, leb + dnb + deb, 0)
-        nxt = jnp.where(is_eob | bad, rel, rel + adv)
-        nxt = jnp.minimum(nxt, pwin)  # pwin = overflow sentinel
-
-        # pointer-doubling reachability from rel=0 (the block/window start)
-        J = jnp.concatenate([nxt, jnp.array([pwin], jnp.int32)])
-        r = jnp.zeros((pwin + 1,), jnp.int32).at[0].set(1)
-        rounds = max(1, int(np.ceil(np.log2(max(pwin, 2)))) + 1)
-        for _ in range(rounds):
-            r = jnp.maximum(r, jnp.zeros_like(r).at[J].max(r))
-            J = J[J]
-        reach = r[:pwin] == 1
-        overflowed = r[pwin] == 1
+        kind = (plane >> 30) & 3
+        adv = (plane >> 24) & 0x3F
+        ta_f = (plane >> 15) & 0x1FF
+        tb_f = (plane & 0x7FFF) + 1
+        is_lit = kind == K_LIT
+        is_eob = kind == K_EOB
+        is_match_c = kind == K_MATCH
+        bad = kind == K_BAD
 
         # ordered token emission by prefix sum over reached positions
-        tmask = reach & (is_lit | is_match_c) & ~bad
+        tmask = reach & (is_lit | is_match_c)
         ord1 = jnp.cumsum(tmask.astype(jnp.int32))  # 1-based ordinal
         ntok = ord1[-1]
         tp = s["tp"]
         cap_ok = tp + ntok < tok_cap - 1
         slot = jnp.where(tmask & cap_ok, tp + ord1 - 1, jnp.int32(tok_cap - 1))
         tk_val = jnp.where(is_lit, jnp.int32(TK_LIT), jnp.int32(TK_MATCH))
-        ta_val = jnp.where(is_lit, sym, length)
-        tb_val = jnp.where(is_lit, 0, dist)
+        ta_val = ta_f
+        tb_val = jnp.where(is_lit, 0, tb_f)
 
         # distance validity: output produced before each token
-        produced = jnp.where(tmask, jnp.where(is_lit, 1, length), 0)
+        produced = jnp.where(tmask, jnp.where(is_lit, 1, ta_f), 0)
         prefix_out = s["out_total"] + jnp.cumsum(produced) - produced
-        too_far = jnp.any(tmask & is_match_c & (dist > prefix_out))
+        too_far = jnp.any(tmask & is_match_c & (tb_f > prefix_out))
         bad_reached = jnp.any(reach & bad)
 
         eob_hit = jnp.any(reach & is_eob)
         eob_rel = jnp.max(jnp.where(reach & is_eob, rel, -1))
-        eob_nb = nb[jnp.clip(eob_rel, 0, pwin - 1)]
+        eob_nb = adv[jnp.clip(eob_rel, 0, pwin - 1)]
         # window continue: the last reached position's successor (>= pwin)
         last_rel = jnp.max(jnp.where(reach, rel, -1))
         cont_pos = base + last_rel + adv[jnp.clip(last_rel, 0, pwin - 1)]
@@ -440,12 +752,14 @@ def tokenize(
             ),
             s["err"],
         )
+        # ONE scatter per pass: token fields packed into a single int32
+        # (kind 2b | len-or-byte 9b | dist 17b); dump slot = tok_cap-1
+        packed_tok = (tk_val << 26) | (ta_val << 17) | (tb_val & 0x1FFFF)
+        new_tk = s["tk"].at[slot].set(packed_tok)
         return dict(
             s,
             pos=new_pos,
-            tk=s["tk"].at[slot].set(jnp.where(tmask, tk_val, s["tk"][slot])),
-            ta=s["ta"].at[slot].set(jnp.where(tmask, ta_val, s["ta"][slot])),
-            tb=s["tb"].at[slot].set(jnp.where(tmask, tb_val, s["tb"][slot])),
+            tk=new_tk,
             tp=tp + jnp.where(cap_ok, ntok, 0),
             out_total=s["out_total"] + jnp.where(cap_ok, jnp.sum(produced), 0),
             mode=mode,
@@ -489,12 +803,27 @@ def tokenize(
             ),
         ),
     )
-    return s["tk"], s["ta"], s["tb"], s["tp"], s["out_total"], s["pos"], err
+    # Unpack the token plane.  block_pass packs lit/match tokens into tk
+    # alone; stored tokens (header_fn) use the separate ta/tb arrays and
+    # are identified by tk == TK_STORED exactly — a packed value is 0, in
+    # [2^17, 2^26) (literal) or >= 2^26 (match), never 2.
+    tkp = s["tk"]
+    is_stored = tkp == TK_STORED
+    tk = jnp.where(is_stored, TK_STORED, (tkp >> 26) & 3)
+    ta = jnp.where(is_stored, s["ta"], (tkp >> 17) & 0x1FF)
+    tb = jnp.where(is_stored, s["tb"], tkp & 0x1FFFF)
+    return tk, ta, tb, s["tp"], s["out_total"], s["pos"], err
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
 def expand(data, tk, ta, tb, tp, out_cap: int):
-    """Stage 2: token arrays -> output bytes, fully parallel."""
+    """Stage 2: token arrays -> output bytes.
+
+    Per-byte ownership by scatter-at-token-start + monotone cummax
+    forward-fill (three 13-bit payload channels), back-references by
+    early-exit pointer doubling — the parallel generalization of the
+    reference's COPY state and its off1/off2 overlap cases
+    (deflate.py:1593-1659)."""
     TOK = tk.shape[0]
     tok_idx = jnp.arange(TOK, dtype=jnp.int32)
     live = tok_idx < tp
@@ -502,28 +831,88 @@ def expand(data, tk, ta, tb, tp, out_cap: int):
         live, jnp.where(tk == TK_LIT, 1, ta), 0
     )  # match & stored produce ta bytes
     out_off = jnp.cumsum(out_len_tok) - out_len_tok  # exclusive
-
-    p = jnp.arange(out_cap, dtype=jnp.int32)
     total = jnp.sum(out_len_tok)
-    # token owning each output position
-    owner = jnp.clip(jnp.searchsorted(out_off, p, side="right") - 1, 0, TOK - 1)
-    j = p - out_off[owner]
-    kind = tk[owner]
-    a = ta[owner]
-    b = tb[owner]
-    in_range = p < total
+
+    # Ownership: scatter each producing token's fields at its start byte,
+    # then forward-fill.  Fills are monotone cummaxes of (start << w | val)
+    # — native cumulative ops, no searchsorted.  kind+ta share an 11-bit
+    # channel; tb (dist, or stored-block byte offset) is split 13/13.
+    emits = live & (out_len_tok > 0)
+    start = jnp.where(emits, out_off, out_cap).astype(jnp.int32)
+    c1 = ((tk & 3) << 9) | (ta & 0x1FF)
+    neg = jnp.full((out_cap,), -1, jnp.int32)
+
+    def cmax(x):
+        return jax.lax.cummax(x, axis=0)
+
+    if out_cap <= (1 << 18):
+        def ff(vals, width):
+            packed = jnp.where(emits, (out_off << width) | vals, -1)
+            arr = neg.at[start].max(packed, mode="drop")
+            return cmax(arr)
+
+        f1 = ff(c1, 11)
+        f2 = ff(tb & 0x1FFF, 13)
+        f3 = ff((tb >> 13) & 0x1FFF, 13)
+        st0 = f1 >> 11
+        v1 = f1 & 0x7FF
+        b = (f2 & 0x1FFF) | ((f3 & 0x1FFF) << 13)
+        filled = f1 >= 0
+    else:
+        # huge single-stream path: one cummax for ownership, then gather
+        # the fields (acceptable off the chunk-parallel hot path)
+        a_st = neg.at[start].max(jnp.where(emits, out_off, -1), mode="drop")
+        st0 = cmax(a_st)
+        filled = st0 >= 0
+        a_c1 = neg.at[start].max(jnp.where(emits, c1, -1), mode="drop")
+        a_tb = neg.at[start].max(jnp.where(emits, tb, -1), mode="drop")
+        sidx = jnp.clip(st0, 0, out_cap - 1)
+        v1 = a_c1[sidx]
+        b = a_tb[sidx]
+    kind = (v1 >> 9) & 3
+    a = v1 & 0x1FF
+    p = jnp.arange(out_cap, dtype=jnp.int32)
+    j = p - st0
+    in_range = (p < total) & filled
 
     M = data.shape[0]
     d = data.astype(jnp.int32)
     stored_byte = d[jnp.clip(b + j, 0, M - 1)]
-    lit_byte = a
 
     is_root = in_range & (kind != TK_MATCH)
-    val = jnp.where(kind == TK_LIT, lit_byte, stored_byte)
+    val = jnp.where(kind == TK_LIT, a, stored_byte)
     parent = jnp.where(is_root | ~in_range, p, jnp.clip(p - b, 0, out_cap - 1))
-    rounds = max(1, int(np.ceil(np.log2(max(out_cap, 2)))))
-    for _ in range(rounds):
-        parent = parent[parent]
+
+    # Collapse constant-distance runs analytically: a maximal run of match
+    # bytes sharing distance d forms the chain p -> p-d -> p-2d -> ...;
+    # its first element before the run start S lands at S-d + (p-S) mod d.
+    # One elementwise step replaces the run's entire chain — the general
+    # form of the reference's off1/off2 overlap shortcuts
+    # (deflate.py:1630-1652) — so pointer doubling only pays for
+    # mixed-distance nesting depth, not run length.
+    is_m = in_range & (kind == TK_MATCH)
+    prev_m = jnp.concatenate([jnp.zeros((1,), bool), is_m[:-1]])
+    prev_b = jnp.concatenate([jnp.zeros((1,), jnp.int32), b[:-1]])
+    run_start = is_m & (~prev_m | (prev_b != b))
+    S = cmax(jnp.where(run_start, p, -1))
+    bc = jnp.maximum(b, 1)
+    sd = S - bc
+    collapsed = sd + jnp.remainder(p - sd, bc)
+    parent = jnp.where(
+        is_m & (S >= 0), jnp.clip(collapsed, 0, out_cap - 1), parent
+    )
+
+    # early-exit pointer doubling to each byte's literal/stored root
+    def cond(c):
+        parent, changed = c
+        return changed
+
+    def body(c):
+        parent, _ = c
+        nxt = parent[parent]
+        return nxt, jnp.any(nxt != parent)
+
+    parent, _ = jax.lax.while_loop(cond, body, (parent, jnp.bool_(True)))
     out = jnp.where(in_range, val[parent], 0).astype(jnp.uint8)
     return out, total
 
@@ -533,7 +922,7 @@ def _pick_pwin(nbytes: int) -> int:
     compressed data, capped to bound memory."""
     want = 8 * max(nbytes, 64)
     p = 1 << int(np.ceil(np.log2(want)))
-    return min(p, 1 << 20)
+    return min(p, 1 << 19)
 
 
 def inflate_device(
