@@ -56,7 +56,7 @@ def main():
 
     from tpu_deflate.config import DeflateConfig
     from tpu_deflate.ops.encode import encode_blocks_batch
-    from tpu_deflate.ops.decode import expand, tokenize
+    from tpu_deflate.ops.decode import expand_batch, tokenize
 
     size = int(os.environ.get("BENCH_MB", "8")) << 20
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -82,12 +82,13 @@ def main():
 
     t0 = time.perf_counter()
     out, sizes = enc()  # compile
-    jax.block_until_ready(out)
+    np.asarray(sizes)  # host fetch = honest sync (block_until_ready can
+    # return early for some programs on this platform)
     log(f"encode compiled+ran in {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(reps):
         out, sizes = enc()
-    jax.block_until_ready(out)
+    np.asarray(sizes)
     enc_s = (time.perf_counter() - t0) / reps
     enc_gbps = size / enc_s / 1e9
     log(f"encode: {enc_s * 1e3:.1f} ms -> {enc_gbps:.3f} GB/s")
@@ -119,23 +120,25 @@ def main():
         dends = (8 * sizes).astype(jnp.int32)
         tok_cap = chunk + 16
 
-        def one(row, e):
-            tk, ta, tb, tp, _tot, _pos, err = tokenize(
-                row, 0, tok_cap=tok_cap, end_bit=e, pwin=1 << 18,
-                stop_at_eob=True,
-            )
-            o, total = expand(row, tk, ta, tb, tp, out_cap=chunk)
+        def dec_fn(rows, ee):
+            tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
+                lambda row, e: tokenize(
+                    row, 0, tok_cap=tok_cap, end_bit=e, pwin=1 << 18,
+                    stop_at_eob=True,
+                )
+            )(rows, ee)
+            o, total = expand_batch(rows, tk, ta, tb, tp, out_cap=chunk)
             return o, total, err
 
-        dec = jax.jit(jax.vmap(one))
+        dec = jax.jit(dec_fn)
         t0 = time.perf_counter()
         outs, totals, errs = dec(out, dends)
-        jax.block_until_ready(outs)
+        np.asarray(totals)  # honest sync
         log(f"decode compiled+ran in {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for _ in range(reps):
             outs, totals, errs = dec(out, dends)
-        jax.block_until_ready(outs)
+        np.asarray(totals)
         dec_s = (time.perf_counter() - t0) / reps
         dec_gbps = size / dec_s / 1e9
         log(f"decode: {dec_s * 1e3:.1f} ms -> {dec_gbps:.3f} GB/s")

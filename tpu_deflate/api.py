@@ -130,7 +130,7 @@ def decompress_indexed(
     per chunk).  Verifies the Adler-32 trailer."""
     import jax
 
-    from tpu_deflate.ops.decode import expand, tokenize
+    from tpu_deflate.ops.decode import expand_batch, tokenize
     from tpu_deflate.ops.checksum import adler32_state
     from tpu_deflate.spec.checksum import ADLER_MOD
 
@@ -155,19 +155,17 @@ def decompress_indexed(
     chunk = config.chunk_size
     tok_cap = chunk + 16
 
-    def one(s, e):
-        tk, ta, tb, tp, _tot, _pos, err = tokenize(
-            dbuf,
-            s,
-            tok_cap=tok_cap,
-            end_bit=e,
-            pwin=1 << 15,
-            stop_at_eob=True,
-        )
-        o, total = expand(dbuf, tk, ta, tb, tp, out_cap=chunk)
+    def dec(ss, ee):
+        tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
+            lambda s, e: tokenize(
+                dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=1 << 15,
+                stop_at_eob=True,
+            )
+        )(ss, ee)
+        o, total = expand_batch(dbuf, tk, ta, tb, tp, out_cap=chunk)
         return o, total, err
 
-    outs, totals, errs = jax.jit(jax.vmap(one))(
+    outs, totals, errs = jax.jit(dec)(
         jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32)
     )
     errs = np.asarray(errs)[:nchunks]
@@ -343,7 +341,7 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
     by-member device decode otherwise."""
     import jax
 
-    from tpu_deflate.ops.decode import expand, tokenize
+    from tpu_deflate.ops.decode import expand_batch, tokenize
     from tpu_deflate.spec.checksum import crc32 as _crc
 
     members = _scan_gzip_members(data)
@@ -369,14 +367,17 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
         ends[i] = 8 * e
     tok_cap = chunk + 16
 
-    def one(s, e):
-        tk, ta, tb, tp, _tot, _pos, err = tokenize(
-            dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=1 << 15, stop_at_eob=True
-        )
-        o, total = expand(dbuf, tk, ta, tb, tp, out_cap=chunk)
+    def dec(ss, ee):
+        tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
+            lambda s, e: tokenize(
+                dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=1 << 15,
+                stop_at_eob=True,
+            )
+        )(ss, ee)
+        o, total = expand_batch(dbuf, tk, ta, tb, tp, out_cap=chunk)
         return o, total, err
 
-    outs, totals, errs = jax.jit(jax.vmap(one))(
+    outs, totals, errs = jax.jit(dec)(
         jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32)
     )
     errs = np.asarray(errs)[:nm]

@@ -1,0 +1,163 @@
+"""Pallas TPU kernel: monotone multi-channel scatter-add.
+
+DEFLATE's data movement is dominated by scatters whose target indices are
+NONDECREASING: bit-pack byte offsets (the reference's serial put() path,
+/root/reference/deflate.py:535-567), token-compaction ranks, and output
+painting offsets.  XLA lowers these as general scatters (~60-100M
+indices/s on v5e, measured) — but monotonicity means a fixed slab of the
+input stream touches a BOUNDED output window, so each slab can be applied
+as one-hot matmuls on the MXU and accumulated with a read-modify-write of
+that window.  The grid walks input slabs sequentially (TPU grids execute
+in order on a core), so overlapping windows of neighboring slabs
+accumulate correctly.
+
+    out[c, j] = sum_{e : idx[e] == j} val[c, e]
+
+Per slab of 2048 entries with window base W0 (row-aligned):
+    rel    = idx - W0                      (flattened to a (2048,1) column
+                                            by constant one-hot matmuls)
+    OH_rT  = (rel >> 7 == r)               (WROWS, 2048) row one-hot
+    OH_l   = (rel & 127 == l)              (2048, 128)   lane one-hot
+    paint  = OH_rT @ (OH_l * val_column)   one MXU matmul per byte plane
+    out[rows W0/128 ..] += paint
+
+Requirements: idx nondecreasing over live entries (dead entries may carry
+any idx >= size with val 0 — they fall outside every window and drop
+out); idx[e + SLAB] - idx[e] <= 8192 for all e (bit-pack emissions
+advance <= 4 bytes each, so a 2048-slab spans <= 8192 bytes); values fit
+16 bits per channel (byte-plane split keeps the MXU bf16-exact).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SLAB = 2048
+SLAB_ROWS = SLAB // 128
+WINDOW = 8192 + 128
+WROWS = WINDOW // 128
+
+
+def _kernel(olo_ref, idx_ref, val_ref, out_ref, C: int, nrows_out: int, T: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    row0 = jnp.clip(olo_ref[b, t], 0, nrows_out - WROWS)
+    base = (row0 * 128).astype(jnp.float32)
+    tile_idx = idx_ref[0, pl.ds(t * SLAB_ROWS, SLAB_ROWS), :].astype(jnp.float32)
+
+    G = SLAB
+    gi = jax.lax.broadcasted_iota(jnp.int32, (G, SLAB_ROWS), 0) >> 7
+    es = (gi == jax.lax.broadcasted_iota(jnp.int32, (G, SLAB_ROWS), 1)).astype(
+        jnp.float32
+    )
+    ci = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 0) & 127
+    maskc = (ci == jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)).astype(
+        jnp.float32
+    )
+
+    def bdot(a, b_):
+        return jnp.dot(
+            a.astype(jnp.bfloat16),
+            b_.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    def flatten(tile):  # (SLAB_ROWS, 128) f32 in [0, 2^16) -> (G, 1)
+        hi = jnp.floor(tile * (1.0 / 256.0))
+        lo = tile - hi * 256.0
+        return (
+            jnp.sum(bdot(es, hi) * maskc, axis=1, keepdims=True) * 256.0
+            + jnp.sum(bdot(es, lo) * maskc, axis=1, keepdims=True)
+        )
+
+    # window-relative targets; anything outside [0, WINDOW) drops out
+    rel = flatten(jnp.clip(tile_idx - base, 0.0, float(WINDOW)))
+    rrow = jnp.floor(rel * (1.0 / 128.0))
+    rlane = rel - rrow * 128.0
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (WROWS, G), 0).astype(jnp.float32)
+    oh_rT = (rrow.T == wiota).astype(jnp.float32)  # (WROWS, G)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1).astype(jnp.float32)
+    oh_l = (rlane == liota).astype(jnp.float32)  # (G, 128)
+    inw = (rel >= 0.0) & (rel < float(WINDOW))
+    oh_l = oh_l * inw.astype(jnp.float32)
+
+    for c in range(C):
+        vcol = flatten(val_ref[0, c, pl.ds(t * SLAB_ROWS, SLAB_ROWS), :].astype(jnp.float32))
+        vh = jnp.floor(vcol * (1.0 / 256.0))
+        vl = vcol - vh * 256.0
+        paint = (
+            bdot(oh_rT, oh_l * vh) * 256.0 + bdot(oh_rT, oh_l * vl)
+        )  # (WROWS, 128)
+        cur = out_ref[0, c, pl.ds(row0, WROWS), :]
+        out_ref[0, c, pl.ds(row0, WROWS), :] = cur + paint.astype(jnp.int32)
+
+
+def mono_scatter_add_xla(idx, vals, size):
+    """XLA fallback: plain scatter-add per channel.
+
+    idx: int32[..., K]; vals: int32[..., C, K].  Returns int32[..., C, size].
+    """
+    tgt = jnp.clip(idx, 0, size - 1)
+    drop = (idx < 0) | (idx >= size)
+    v = jnp.where(drop[..., None, :], 0, vals)
+    zero = jnp.zeros(vals.shape[:-1] + (size,), jnp.int32)
+    if idx.ndim == 1:
+        return zero.at[..., tgt].add(v)
+    # batched: vmap over leading dims
+    f = mono_scatter_add_xla
+    for _ in range(idx.ndim - 1):
+        f = jax.vmap(f, in_axes=(0, 0, None))
+    return f(idx, vals, size)
+
+
+def mono_scatter_add(idx: jax.Array, vals: jax.Array, size: int) -> jax.Array:
+    """Monotone scatter-add: out[..., c, j] = sum over idx[...]==j of vals.
+
+    idx: int32[B, K] nondecreasing (K % 2048 == 0); vals: int32[B, C, K]
+    with per-channel values < 2^16; size: output length (padded
+    internally to rows of 128 plus window slack).  Requires
+    idx[e+2048]-idx[e] <= 8192.  Returns int32[B, C, size].
+    """
+    on_tpu = jax.devices()[0].platform == "tpu"
+    B, K = idx.shape
+    C = vals.shape[1]
+    if (not on_tpu) or K % SLAB != 0:
+        return mono_scatter_add_xla(idx, vals, size)
+
+    T = K // SLAB
+    nrows = -(-size // 128) + WROWS
+    olo = jnp.clip(idx[:, ::SLAB] >> 7, 0, nrows - WROWS)  # (B, T)
+    idx3 = idx.reshape(B, K // 128, 128)
+    val4 = vals.reshape(B, C, K // 128, 128)
+    kern = functools.partial(_kernel, C=C, nrows_out=nrows, T=T)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, T),
+        out_shape=jax.ShapeDtypeStruct((B, C, nrows, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # olo (B, T), read-only
+            pl.BlockSpec(
+                (1, K // 128, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, C, K // 128, 128),
+                lambda b, t: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, nrows, 128), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(olo, idx3, val4)
+    return out.reshape(B, C, nrows * 128)[:, :, :size]

@@ -426,16 +426,16 @@ def _candidate_plane(
     return jax.lax.dynamic_slice(flat, (r0,), (pwin,))
 
 
-def _chase(plane: jax.Array, pwin: int):
-    """Boundary chase: positions reachable from rel=0 under the jump map.
+def chase_reach(adv: jax.Array, term: jax.Array, P: int) -> jax.Array:
+    """Positions reachable from index 0 under next[p] = p + adv[p].
 
-    plane: packed candidates (pwin,).  Returns reach: bool (pwin,).
-    Select-based (gather-free) hierarchical transfer-map composition over
-    64-bit tiles — the TPU replacement for per-symbol FSM stepping."""
-    T64 = pwin // 64
-    kind = (plane >> 30) & 3
-    adv = (plane >> 24) & 0x3F
-    term = (kind == K_EOB) | (kind == K_BAD)
+    adv: int32[P] jump lengths in [1, 48]; term: bool[P] chain terminators
+    (the chain stops AT a terminal position, which is still marked
+    reached).  Returns bool[P].  Select-based (gather-free) hierarchical
+    transfer-map composition over 64-wide tiles — the TPU replacement for
+    per-symbol/per-token FSM stepping, shared by the decoder's boundary
+    chase and the encoder's greedy parse."""
+    T64 = P // 64
     # (64, T) layout: tiles as columns so selects are row slices
     advT = adv.reshape(T64, 64).T
     termT = term.reshape(T64, 64).T
@@ -482,6 +482,14 @@ def _chase(plane: jax.Array, pwin: int):
         0, 64, step, (ent, jnp.zeros((64, T64), bool))
     )
     return visited.T.reshape(-1)
+
+
+def _chase(plane: jax.Array, pwin: int):
+    """Decoder boundary chase over a packed candidate plane."""
+    kind = (plane >> 30) & 3
+    adv = (plane >> 24) & 0x3F
+    term = (kind == K_EOB) | (kind == K_BAD)
+    return chase_reach(adv, term, pwin)
 
 
 @functools.partial(jax.jit, static_argnames=("tok_cap", "pwin", "stop_at_eob"))
@@ -815,15 +823,16 @@ def tokenize(
     return tk, ta, tb, s["tp"], s["out_total"], s["pos"], err
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap",))
-def expand(data, tk, ta, tb, tp, out_cap: int):
-    """Stage 2: token arrays -> output bytes.
+def _expand_fields(data, tk, ta, tb, tp, out_cap: int):
+    """Per-lane stage 2 prologue: token arrays -> (val, parent, in_range,
+    total).
 
     Per-byte ownership by scatter-at-token-start + monotone cummax
-    forward-fill (three 13-bit payload channels), back-references by
-    early-exit pointer doubling — the parallel generalization of the
-    reference's COPY state and its off1/off2 overlap cases
-    (deflate.py:1593-1659)."""
+    forward-fill (three 13-bit payload channels); constant-distance runs
+    collapsed analytically; the remaining parent chains are resolved by
+    the batched ``resolve_roots`` (Pallas MXU kernel on TPU) — together
+    the parallel generalization of the reference's COPY state and its
+    off1/off2 overlap cases (deflate.py:1593-1659)."""
     TOK = tk.shape[0]
     tok_idx = jnp.arange(TOK, dtype=jnp.int32)
     live = tok_idx < tp
@@ -901,20 +910,35 @@ def expand(data, tk, ta, tb, tp, out_cap: int):
     parent = jnp.where(
         is_m & (S >= 0), jnp.clip(collapsed, 0, out_cap - 1), parent
     )
+    return val, parent, in_range, total
 
-    # early-exit pointer doubling to each byte's literal/stored root
-    def cond(c):
-        parent, changed = c
-        return changed
 
-    def body(c):
-        parent, _ = c
-        nxt = parent[parent]
-        return nxt, jnp.any(nxt != parent)
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def expand_batch(data, tk, ta, tb, tp, out_cap: int):
+    """Stage 2, batched over chunk lanes: token arrays -> output bytes.
 
-    parent, _ = jax.lax.while_loop(cond, body, (parent, jnp.bool_(True)))
-    out = jnp.where(in_range, val[parent], 0).astype(jnp.uint8)
+    data: uint8[B, M]; tk/ta/tb: int32[B, TOK]; tp: int32[B].
+    Returns (uint8[B, out_cap], int32[B] totals).  Kept batch-level so the
+    back-reference resolution runs as ONE Pallas grid over all lanes."""
+    from tpu_deflate.kernels.resolve import resolve_roots
+
+    data_axis = 0 if data.ndim == 2 else None  # 1-D = shared stream blob
+    val, parent, in_range, total = jax.vmap(
+        functools.partial(_expand_fields, out_cap=out_cap),
+        in_axes=(data_axis, 0, 0, 0, 0),
+    )(data, tk, ta, tb, tp)
+    root = resolve_roots(parent, val)
+    out = jnp.where(in_range, root, 0).astype(jnp.uint8)
     return out, total
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def expand(data, tk, ta, tb, tp, out_cap: int):
+    """Single-stream stage 2 (see expand_batch)."""
+    out, total = expand_batch(
+        data[None], tk[None], ta[None], tb[None], tp[None], out_cap=out_cap
+    )
+    return out[0], total[0]
 
 
 def _pick_pwin(nbytes: int) -> int:

@@ -226,6 +226,63 @@ def _extend_matches(
     return jnp.minimum(length, jnp.maximum(n - idx, 0))
 
 
+def _extend_matches_select(b, dist, n, max_match: int, window: int):
+    """Gather-free match extension: one-hot over the window's distances.
+
+    For each d in [1, window], the equality plane eq_d[i] = (b[i]==b[i-d])
+    is a shifted compare (slices, no gather); positions whose candidate
+    dist == d extend along eq_d.  Replaces the reference's SEARCHF/
+    SEARCH10 byte-at-a-time ladder (deflate.py:899-964) with
+    window x max_match vector ops — on TPU this beats per-position
+    gathers by ~100x (gathers run at ~100M idx/s, VPU ops are ~free).
+    """
+    N = b.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    has = (dist > 0) & (idx + 3 <= n) & (dist <= idx)
+    bpad = jnp.concatenate([jnp.full((window,), -1, jnp.int32), b])
+    kmask = [idx + k < n for k in range(3, max_match)]
+
+    def dbody(d, ext_acc):
+        eqd = b == jax.lax.dynamic_slice(bpad, (window - d,), (N,))
+        sel = has & (dist == d)
+        alive = sel
+        ext = jnp.zeros((N,), jnp.int32)
+        for k in range(3, max_match):
+            eqk = jnp.concatenate([eqd[k:], jnp.zeros((k,), bool)])
+            alive = alive & kmask[k - 3] & eqk
+            ext = ext + alive
+        return ext_acc + ext
+
+    ext = jax.lax.fori_loop(1, window + 1, dbody, jnp.zeros((N,), jnp.int32))
+    length = jnp.where(has, 3 + ext, 0)
+    return jnp.minimum(length, jnp.maximum(n - idx, 0))
+
+
+def _greedy_parse_chase(length: jax.Array, n) -> jax.Array:
+    """Gather-free greedy parse via the shared select-based chase
+    (decode.chase_reach).  Valid when max step <= 48 and N % 64 == 0."""
+    from tpu_deflate.ops.decode import chase_reach
+
+    N = length.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    step = jnp.where(length >= 3, length, 1)
+    reach = chase_reach(step, jnp.zeros((N,), bool), N)
+    return reach & (idx < n)
+
+
+def _bucket_arith(v: jax.Array, bases: jax.Array) -> jax.Array:
+    """sym = #(bases <= v) - 1 for a sorted base table (broadcast compare,
+    no gather).  Replaces the reference's 1-slot-per-cycle CopyDistance
+    scan (deflate.py:848-860)."""
+    return jnp.sum((v[:, None] >= bases[None, :]).astype(jnp.int32), axis=-1) - 1
+
+
+def _select_meta(meta: jax.Array, idx: jax.Array) -> jax.Array:
+    """meta[idx] by one-hot multiply-reduce over a small table."""
+    k = jnp.arange(meta.shape[0], dtype=jnp.int32)
+    return jnp.sum(jnp.where(idx[..., None] == k, meta, 0), axis=-1)
+
+
 def _assign_code_lengths_jax(freq: jax.Array, max_bits: int) -> jax.Array:
     """Vectorized length-limited prefix-code length assignment.
 
@@ -447,18 +504,7 @@ def _greedy_parse(length: jax.Array, n) -> jax.Array:
     return (r[:N] == 1) & (idx < n)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "window",
-        "max_match",
-        "use_sort_matcher",
-        "use_pallas",
-        "lazy",
-        "dynamic_encode",
-    ),
-)
-def encode_block_bits(
+def _encode_emissions(
     data: jax.Array,
     n: jax.Array,
     final: jax.Array,
@@ -469,13 +515,10 @@ def encode_block_bits(
     lazy: bool = False,
     dynamic_encode: bool = False,
 ):
-    """Encode one block: uint8[N] -> (out_bytes uint8[M], out_len, nbits).
-
-    Emits: 3-bit block header (BFINAL=final, BTYPE=static), token codes,
-    EOB; when final is false, appends an empty stored block so the output
-    ends byte-aligned (bytewise-concatenatable chunks).
-    Returns (bytes, byte_len, token_count) — byte_len includes alignment.
-    """
+    """Stages 1-4 of one block's encode: match, extend, parse, per-token
+    emission values/widths and bit offsets.  Pure per-lane (vmappable);
+    the byte pack happens in the caller (XLA scatter per-lane, or the
+    batched Pallas monotone scatter in encode_blocks_batch)."""
     N = data.shape[0]
     M = max_output_bytes(N)
     b = data.astype(jnp.int32)
@@ -506,7 +549,10 @@ def encode_block_bits(
     else:
         dist = _match_candidates_window(key3, window)
         # --- stage 2: extension -----------------------------------------
-        length = _extend_matches(b, dist, n, max_match)
+        if window <= 512:
+            length = _extend_matches_select(b, dist, n, max_match, window)
+        else:
+            length = _extend_matches(b, dist, n, max_match)
 
     # --- stage 3: parse --------------------------------------------------
     if lazy:
@@ -517,27 +563,38 @@ def encode_block_bits(
         ln_next = jnp.concatenate([length[1:], jnp.zeros((1,), jnp.int32)])
         defer = (length >= 3) & (ln_next > length)
         length = jnp.where(defer, 0, length)
-    start = _greedy_parse(length, n)
+    if max_match <= 48 and N % 64 == 0:
+        start = _greedy_parse_chase(length, n)
+    else:
+        start = _greedy_parse(length, n)
     is_match = start & (length >= 3)
     is_lit = start & ~(length >= 3)
 
-    # --- stage 4: per-token emissions -----------------------------------
+    # --- stage 4: per-token emissions (gather-free: bucket arithmetic +
+    # one-hot reduces replace every per-position table lookup, including
+    # the reference's CopyDistance linear scan, deflate.py:848-860) ------
     lit_code = jnp.asarray(T.STATIC_LITLEN_CODES_REV)
     lit_len = jnp.asarray(T.STATIC_LITLEN_LENGTHS)
     dist_code = jnp.asarray(T.STATIC_DIST_CODES_REV)
-    len_to_sym = jnp.asarray(T.LEN_TO_SYM)
-    len_to_extra = jnp.asarray(T.LEN_TO_EXTRA)
+    len_base_tab = jnp.asarray(T.LENGTH_BASE)  # (29,) sorted
     len_ebits = jnp.asarray(T.LENGTH_EXTRA_BITS)
-    dist_to_sym = jnp.asarray(T.DIST_TO_SYM)
-    dist_to_extra = jnp.asarray(T.DIST_TO_EXTRA)
+    dist_base_tab = jnp.asarray(T.DIST_BASE)  # (30,) sorted
     dist_ebits = jnp.asarray(T.DIST_EXTRA_BITS)
 
     ln = jnp.clip(length, 0, 258)
-    lsym = len_to_sym[ln]  # 0..28
+    lsym = jnp.clip(_bucket_arith(ln, len_base_tab), 0, 28)  # 0..28
     lit_sym = b
     litlen_sym = jnp.where(is_lit, lit_sym, 257 + lsym)  # per-token lit/len symbol
     d = jnp.clip(dist, 0, 32768)
-    dsym = dist_to_sym[d]
+    dsym = jnp.clip(_bucket_arith(d, dist_base_tab), 0, 29)
+    lbase = jnp.max(
+        jnp.where(ln[:, None] >= len_base_tab[None, :], len_base_tab[None, :], 0),
+        axis=-1,
+    )
+    dbase = jnp.max(
+        jnp.where(d[:, None] >= dist_base_tab[None, :], dist_base_tab[None, :], 0),
+        axis=-1,
+    )
 
     # --- static-tree code tables ----------------------------------------
     s_lit_code, s_lit_len = lit_code, lit_len
@@ -611,21 +668,23 @@ def encode_block_bits(
         dyn_hdr_bits = jnp.sum(hdr_nbs_dyn)
 
         # ---- choose static vs dynamic by exact bit count --------------
+        lebits_sel = _select_meta(len_ebits, lsym)
+        debits_sel = _select_meta(jnp.pad(dist_ebits, (0, 2)), dsym)
         tok_bits_static = jnp.sum(
             jnp.where(
                 start,
-                s_lit_len[litlen_sym]
-                + jnp.where(is_match, len_ebits[lsym] + 5 + dist_ebits[dsym], 0),
+                _select_meta(s_lit_len, litlen_sym)
+                + jnp.where(is_match, lebits_sel + 5 + debits_sel, 0),
                 0,
             )
         ) + 7  # static EOB
         tok_bits_dyn = jnp.sum(
             jnp.where(
                 start,
-                dyn_lit_len_p[litlen_sym]
+                _select_meta(dyn_lit_len_p, litlen_sym)
                 + jnp.where(
                     is_match,
-                    len_ebits[lsym] + dyn_dist_len_p[dsym] + dist_ebits[dsym],
+                    lebits_sel + _select_meta(dyn_dist_len_p, dsym) + debits_sel,
                     0,
                 ),
                 0,
@@ -662,18 +721,25 @@ def encode_block_bits(
         eob_nb = jnp.int32(7)
 
     # emission 0: literal code OR length code + length extra bits
-    e0_code = lit_code_eff[litlen_sym]
-    e0_clen = lit_len_eff[litlen_sym]
-    e0_extra = jnp.where(is_match, len_to_extra[ln], 0)
-    e0_ebits = jnp.where(is_match, len_ebits[lsym], 0)
+    lit_meta = (lit_len_eff << 16) | lit_code_eff  # (288,) len(<=15)|code(<=15b)
+    lm = _select_meta(lit_meta, litlen_sym)
+    e0_code = lm & 0xFFFF
+    e0_clen = lm >> 16
+    e0_extra = jnp.where(is_match, ln - lbase, 0)
+    e0_ebits = jnp.where(is_match, _select_meta(len_ebits, lsym), 0)
     e0_val = e0_code | (e0_extra << e0_clen)
     e0_nb = jnp.where(start, e0_clen + e0_ebits, 0)
-    # emission 1: distance code
-    e1_val = jnp.where(is_match, dist_code_eff[dsym], 0)
-    e1_nb = jnp.where(is_match, dist_len_eff[dsym], 0)
-    # emission 2: distance extra bits
-    e2_val = jnp.where(is_match, dist_to_extra[d], 0)
-    e2_nb = jnp.where(is_match, dist_ebits[dsym], 0)
+    # emissions 1+2: distance code, then distance extra bits
+    dist_meta = (
+        (jnp.pad(dist_ebits, (0, 2)) << 20)
+        | (dist_len_eff << 16)
+        | dist_code_eff
+    )  # (32,) ebits(4)|len(4)|code(15b)
+    dm = _select_meta(dist_meta, dsym)
+    e1_val = jnp.where(is_match, dm & 0xFFFF, 0)
+    e1_nb = jnp.where(is_match, (dm >> 16) & 0xF, 0)
+    e2_val = jnp.where(is_match, d - dbase, 0)
+    e2_nb = jnp.where(is_match, dm >> 20, 0)
 
     vals = jnp.stack([e0_val, e1_val, e2_val], axis=1).reshape(-1)
     nbs = jnp.stack([e0_nb, e1_nb, e2_nb], axis=1).reshape(-1)
@@ -689,8 +755,66 @@ def encode_block_bits(
     csum = jnp.cumsum(all_nbs)
     all_offs = csum - all_nbs  # exclusive prefix
     total_bits = csum[-1]
+    ntokens = jnp.sum(start.astype(jnp.int32))
+    return all_vals, all_nbs, all_offs, total_bits, ntokens
 
-    # --- scatter-add byte pack ------------------------------------------
+
+def _finalize_block(data, n, final, out, total_bits, M: int):
+    """Byte-alignment tail + stored-block fallback for one packed block.
+
+    final: pad to byte with zero bits.  Non-final: 3-bit stored header
+    (000) -> align -> LEN=0 NLEN=FFFF so chunks concatenate bytewise.
+    Incompressible chunks fall back to method-0 stored blocks (RFC 1951
+    3.2.4; the reference decodes these at deflate.py:1603-1626 but its
+    encoder cannot emit them — ours picks whichever is smaller)."""
+    final_len = (total_bits + 7) >> 3
+    aligned = (total_bits + 3 + 7) >> 3
+    out = out.at[jnp.clip(aligned + 2, 0, M - 1)].add(jnp.where(final, 0, 0xFF))
+    out = out.at[jnp.clip(aligned + 3, 0, M - 1)].add(jnp.where(final, 0, 0xFF))
+    out_len = jnp.where(final, final_len, aligned + 4)
+
+    out_s, out_len_s = _stored_output(data, n, final, M)
+    use_stored = out_len_s < out_len
+    out = jnp.where(use_stored, out_s, out)
+    out_len = jnp.where(use_stored, out_len_s, out_len)
+    return out.astype(jnp.uint8), out_len
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "window",
+        "max_match",
+        "use_sort_matcher",
+        "use_pallas",
+        "lazy",
+        "dynamic_encode",
+    ),
+)
+def encode_block_bits(
+    data: jax.Array,
+    n: jax.Array,
+    final: jax.Array,
+    window: int,
+    max_match: int,
+    use_sort_matcher: bool,
+    use_pallas: bool = False,
+    lazy: bool = False,
+    dynamic_encode: bool = False,
+):
+    """Encode one block: uint8[N] -> (out_bytes uint8[M], out_len, ntok).
+
+    Emits: 3-bit block header (BFINAL=final, BTYPE=static/dynamic), token
+    codes, EOB; when final is false, appends an empty stored block so the
+    output ends byte-aligned (bytewise-concatenatable chunks).
+    Single-lane path with an XLA scatter-add byte pack; the batched
+    encode_blocks_batch packs on the MXU instead."""
+    N = data.shape[0]
+    M = max_output_bytes(N)
+    all_vals, all_nbs, all_offs, total_bits, ntokens = _encode_emissions(
+        data, n, final, window, max_match, use_sort_matcher,
+        use_pallas, lazy, dynamic_encode,
+    )
     byte_idx = all_offs >> 3
     shift = all_offs & 7
     v = (all_vals << shift).astype(jnp.int32)  # <= 27 bits, fits int32
@@ -700,31 +824,8 @@ def encode_block_bits(
         contrib = jnp.where(live, (v >> (8 * k)) & 0xFF, 0)
         tgt = jnp.clip(byte_idx + k, 0, M - 1)
         out = out.at[tgt].add(contrib)
-
-    # --- tail: byte alignment -------------------------------------------
-    # final: pad to byte with zero bits (nothing to write)
-    # non-final: 3-bit stored header (000) -> align -> LEN=0 NLEN=FFFF
-    final_len = (total_bits + 7) >> 3
-    aligned = (total_bits + 3 + 7) >> 3
-    out = out.at[jnp.clip(aligned + 2, 0, M - 1)].add(
-        jnp.where(final, 0, 0xFF)
-    )
-    out = out.at[jnp.clip(aligned + 3, 0, M - 1)].add(
-        jnp.where(final, 0, 0xFF)
-    )
-    out_len = jnp.where(final, final_len, aligned + 4)
-
-    # --- stored-block fallback ------------------------------------------
-    # Incompressible chunks are emitted as method-0 stored blocks
-    # (RFC 1951 3.2.4; the reference decodes these at deflate.py:1603-1626
-    # but its encoder cannot emit them — ours picks whichever is smaller).
-    out_s, out_len_s = _stored_output(data, n, final, M)
-    use_stored = out_len_s < out_len
-    out = jnp.where(use_stored, out_s, out)
-    out_len = jnp.where(use_stored, out_len_s, out_len)
-
-    ntokens = jnp.sum(start.astype(jnp.int32))
-    return out.astype(jnp.uint8), out_len, ntokens
+    out, out_len = _finalize_block(data, n, final, out, total_bits, M)
+    return out, out_len, ntokens
 
 
 _STORED_MAX = 65535
@@ -783,11 +884,21 @@ def encode_block(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateConfig()):
-    """vmapped multi-block encode: data uint8[B, N]."""
+    """Batched multi-block encode: data uint8[B, N].
+
+    Stages 1-4 run vmapped per lane; the bit-pack runs as ONE batched
+    monotone scatter-add (Pallas MXU kernel on TPU — bit offsets are
+    nondecreasing, the parallel form of the reference's serial put()
+    accumulator, deflate.py:535-567)."""
+    from tpu_deflate.kernels.monotone import SLAB, mono_scatter_add
+
     use_sort = config.window > 256
+    B, N = data.shape
+    M = max_output_bytes(N)
     f = functools.partial(
-        encode_block_bits,
+        _encode_emissions,
         window=config.window,
         max_match=config.max_match,
         use_sort_matcher=use_sort,
@@ -795,4 +906,27 @@ def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateCo
         lazy=config.lazy,
         dynamic_encode=config.dynamic_encode,
     )
-    return jax.vmap(f)(data, lengths, finals)
+    vals, nbs, offs, total_bits, ntok = jax.vmap(f)(data, lengths, finals)
+
+    live = nbs > 0
+    v = (vals << (offs & 7)).astype(jnp.int32)  # <= 27 bits
+    # dead entries (nbs==0) KEEP their natural offset — it is nondecreasing
+    # and their contribution is masked to zero, so they are free no-ops
+    byte_idx = offs >> 3
+    K = vals.shape[1]
+    Kp = -(-K // SLAB) * SLAB
+    pad = Kp - K
+    byte_idx = jnp.pad(byte_idx, ((0, 0), (0, pad)), constant_values=M)
+    ch = jnp.stack(
+        [jnp.where(live, (v >> (8 * c)) & 0xFF, 0) for c in range(4)], axis=1
+    )  # (B, 4, K)
+    ch = jnp.pad(ch, ((0, 0), (0, 0), (0, pad)))
+    packed = mono_scatter_add(byte_idx, ch, M + 4)  # (B, 4, M+4)
+    out = packed[:, 0, :M]
+    for c in range(1, 4):
+        out = out + jnp.pad(packed[:, c, : M - c], ((0, 0), (c, 0)))
+
+    outs, out_lens = jax.vmap(
+        functools.partial(_finalize_block, M=M)
+    )(data, lengths, finals, out, total_bits)
+    return outs, out_lens, ntok

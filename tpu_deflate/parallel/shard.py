@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_deflate.config import DeflateConfig
 from tpu_deflate.ops.checksum import ADLER_MOD, adler32_state
-from tpu_deflate.ops.decode import TABLE_BITS, expand, tokenize
+from tpu_deflate.ops.decode import TABLE_BITS, expand_batch, tokenize
 from tpu_deflate.ops.encode import encode_block_bits, max_output_bytes
 
 
@@ -133,15 +133,15 @@ def decode_shard_fn(chunk_out_size: int, tok_cap: int, axis: str = "dp"):
     Out: (out uint8[b, chunk_out_size], out_lens int32[b], errs int32[b]).
     """
 
-    def one(data, s, e):
-        tk, ta, tb, tp, out_total, _pos, err = tokenize(
-            data, s, tok_cap=tok_cap, end_bit=e, pwin=1 << 15, stop_at_eob=True
-        )
-        out, total = expand(data, tk, ta, tb, tp, out_cap=chunk_out_size)
-        return out, total, err
-
     def fn(data, start_bits, end_bits):
-        return jax.vmap(one, in_axes=(None, 0, 0))(data, start_bits, end_bits)
+        tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
+            lambda s, e: tokenize(
+                data, s, tok_cap=tok_cap, end_bit=e, pwin=1 << 15,
+                stop_at_eob=True,
+            )
+        )(start_bits, end_bits)
+        out, total = expand_batch(data, tk, ta, tb, tp, out_cap=chunk_out_size)
+        return out, total, err
 
     return fn
 
