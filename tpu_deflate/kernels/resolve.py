@@ -93,7 +93,7 @@ def _gather_tiles(src_ref, idx_ref, dst_ref, R: int):
         pt = onehot_pick(es, th, tl, maskc)  # (G, 1) flat index column
         rows = jnp.floor(pt * (1.0 / 128.0))
         cols = pt - rows * 128.0
-        oh = (rows == riota).astype(jnp.float32)  # (G, R)
+        oh = (rows == riota).astype(jnp.bfloat16)  # (G, R), exact 0/1
         colsm = (cols == ciota).astype(jnp.float32)
         g = onehot_pick(oh, src_hi, src_lo, colsm)  # (G, 1) gathered values
         gh = jnp.floor(g * (1.0 / 256.0))
@@ -167,10 +167,10 @@ def resolve_roots(parent: jax.Array, val: jax.Array) -> jax.Array:
         return _resolve_xla(parent, val)
 
     R = N // 128
-    # 10 fixed rounds cover chain depths <= 2^10 — beyond any real
-    # stream's match-nesting once constant-distance runs are collapsed;
-    # deeper (adversarial) chains fall through to the XLA finisher below
-    rounds = min(10, max(1, int(np.ceil(np.log2(N)))))
+    # 8 fixed rounds cover chain depths <= 2^8 — beyond typical
+    # match-nesting once constant-distance runs are collapsed; deeper
+    # (adversarial) chains fall through to the XLA finisher below
+    rounds = min(8, max(1, int(np.ceil(np.log2(N)))))
     kern = functools.partial(_resolve_kernel, rounds=rounds, R=R)
 
     lead = parent.shape[:-1]

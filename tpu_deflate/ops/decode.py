@@ -449,17 +449,24 @@ def chase_reach(adv: jax.Array, term: jax.Array, P: int) -> jax.Array:
     m = jax.lax.fori_loop(0, 6, dbl, m0)
     phi = jnp.where(m >= 128, _STOP, m - 64)  # entry->next-tile phase, [0,48)
 
-    # binary hierarchy of composed maps (finest first)
+    # binary hierarchy of composed maps (finest first), stopping at <=64
+    # segments; a sequential scan bridges the top (compile-time bound)
     levels = [phi]
-    while levels[-1].shape[1] > 1:
+    while levels[-1].shape[1] > 64:
         cur = levels[-1]
         even = cur[:, 0::2]
         odd = cur[:, 1::2]
         comp = jnp.where(even < 64, _select_rows(odd, even, 64), even)
         levels.append(comp)
 
+    # entry phase at each top-level segment start: chain the <=64 maps
+    def seg_step(e, col):
+        e2 = jnp.where(e < 64, col[jnp.clip(e, 0, 63)], e)
+        return e2, e
+
+    _, ent = jax.lax.scan(seg_step, jnp.int32(0), levels[-1].T)
+
     # descend: entry phase at the start of every tile
-    ent = jnp.zeros((1,), jnp.int32)  # chase starts at rel 0, phase 0
     for lvl in range(len(levels) - 2, -1, -1):
         even_maps = levels[lvl][:, 0::2]  # (64, T_k/2... matches ent)
         ent_odd = ent
@@ -823,7 +830,7 @@ def tokenize(
     return tk, ta, tb, s["tp"], s["out_total"], s["pos"], err
 
 
-def _expand_fields(data, tk, ta, tb, tp, out_cap: int):
+def _expand_fields(data, tk, ta, tb, tp, any_stored, out_cap: int):
     """Per-lane stage 2 prologue: token arrays -> (val, parent, in_range,
     total).
 
@@ -886,7 +893,15 @@ def _expand_fields(data, tk, ta, tb, tp, out_cap: int):
 
     M = data.shape[0]
     d = data.astype(jnp.int32)
-    stored_byte = d[jnp.clip(b + j, 0, M - 1)]
+    # stored-block bytes need a data gather; most streams have none, so
+    # it is skipped batch-wide (any_stored is unbatched, keeping the cond
+    # a real branch under vmap)
+    stored_byte = jax.lax.cond(
+        any_stored,
+        lambda _: d[jnp.clip(b + j, 0, M - 1)],
+        lambda _: jnp.zeros((out_cap,), jnp.int32),
+        None,
+    )
 
     is_root = in_range & (kind != TK_MATCH)
     val = jnp.where(kind == TK_LIT, a, stored_byte)
@@ -923,10 +938,13 @@ def expand_batch(data, tk, ta, tb, tp, out_cap: int):
     from tpu_deflate.kernels.resolve import resolve_roots
 
     data_axis = 0 if data.ndim == 2 else None  # 1-D = shared stream blob
+    any_stored = jnp.any(
+        (tk == TK_STORED) & (jnp.arange(tk.shape[-1]) < tp[..., None])
+    )
     val, parent, in_range, total = jax.vmap(
         functools.partial(_expand_fields, out_cap=out_cap),
-        in_axes=(data_axis, 0, 0, 0, 0),
-    )(data, tk, ta, tb, tp)
+        in_axes=(data_axis, 0, 0, 0, 0, None),
+    )(data, tk, ta, tb, tp, any_stored)
     root = resolve_roots(parent, val)
     out = jnp.where(in_range, root, 0).astype(jnp.uint8)
     return out, total

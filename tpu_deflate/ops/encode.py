@@ -57,13 +57,19 @@ def _match_candidates_window(key3: jax.Array, window: int) -> jax.Array:
     """
     N = key3.shape[0]
     kpad = jnp.concatenate([jnp.full((window,), -1, jnp.int32), key3])
+    GU = 8 if window % 8 == 0 else 1  # distances per pass: XLA fuses the
+    # unrolled group into one memory sweep (8x less HBM traffic than one
+    # fori iteration per distance)
 
     def body(t, best):
-        d = window - t  # sweep d = window..1 so the last writer is nearest
-        shifted = jax.lax.dynamic_slice(kpad, (window - d,), (N,))
-        return jnp.where(key3 == shifted, d, best)
+        for u in range(GU):
+            k = t * GU + u
+            d = window - k  # sweep d = window..1 so the last writer is nearest
+            shifted = jax.lax.dynamic_slice(kpad, (k,), (N,))
+            best = jnp.where(key3 == shifted, d, best)
+        return best
 
-    return jax.lax.fori_loop(0, window, body, jnp.zeros((N,), jnp.int32))
+    return jax.lax.fori_loop(0, window // GU, body, jnp.zeros((N,), jnp.int32))
 
 
 def _match_candidates_sorted(key3: jax.Array, window: int) -> jax.Array:
@@ -241,19 +247,23 @@ def _extend_matches_select(b, dist, n, max_match: int, window: int):
     has = (dist > 0) & (idx + 3 <= n) & (dist <= idx)
     bpad = jnp.concatenate([jnp.full((window,), -1, jnp.int32), b])
     kmask = [idx + k < n for k in range(3, max_match)]
+    GU = 8 if window % 8 == 0 else 1  # distances per fused memory pass
 
-    def dbody(d, ext_acc):
-        eqd = b == jax.lax.dynamic_slice(bpad, (window - d,), (N,))
-        sel = has & (dist == d)
-        alive = sel
-        ext = jnp.zeros((N,), jnp.int32)
-        for k in range(3, max_match):
-            eqk = jnp.concatenate([eqd[k:], jnp.zeros((k,), bool)])
-            alive = alive & kmask[k - 3] & eqk
-            ext = ext + alive
-        return ext_acc + ext
+    def dbody(t, ext_acc):
+        for u in range(GU):
+            d = t * GU + u + 1
+            eqd = b == jax.lax.dynamic_slice(bpad, (window - d,), (N,))
+            sel = has & (dist == d)
+            alive = sel
+            ext = jnp.zeros((N,), jnp.int32)
+            for k in range(3, max_match):
+                eqk = jnp.concatenate([eqd[k:], jnp.zeros((k,), bool)])
+                alive = alive & kmask[k - 3] & eqk
+                ext = ext + alive
+            ext_acc = ext_acc + ext
+        return ext_acc
 
-    ext = jax.lax.fori_loop(1, window + 1, dbody, jnp.zeros((N,), jnp.int32))
+    ext = jax.lax.fori_loop(0, window // GU, dbody, jnp.zeros((N,), jnp.int32))
     length = jnp.where(has, 3 + ext, 0)
     return jnp.minimum(length, jnp.maximum(n - idx, 0))
 

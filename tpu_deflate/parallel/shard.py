@@ -74,16 +74,10 @@ def encode_shard_fn(config: DeflateConfig, axis: str = "dp"):
     In: data uint8[b, C], lengths int32[b], finals bool[b] (local shard).
     Out: (out uint8[b, M], out_sizes int32[b], global (a, b, len) fold).
     """
-    use_sort = config.window > 256
-    enc = functools.partial(
-        encode_block_bits,
-        window=config.window,
-        max_match=config.max_match,
-        use_sort_matcher=use_sort,
-    )
+    from tpu_deflate.ops.encode import encode_blocks_batch
 
     def fn(data, lengths, finals):
-        out, sizes, _ = jax.vmap(enc)(data, lengths, finals)
+        out, sizes, _ = encode_blocks_batch(data, lengths, finals, config)
         a, b = jax.vmap(adler32_state)(data, lengths)
         # fold local chunk states, then exchange across the mesh.  The
         # all-gather of 3 scalars per device is the ICI size-exchange.
