@@ -1,0 +1,373 @@
+"""Pallas TPU kernel: fused token expansion (paint + fill + LZ77 resolve).
+
+Stage 2 of the decoder turns token arrays into output bytes.  The XLA
+formulation (ops/decode._expand_fields + kernels/resolve) costs three
+full-size scatters (~100M indices/s on v5e) plus ~10 rounds of dense
+one-hot MXU gathers over the whole output — together it dominated decode
+time.  This kernel restructures the whole stage around ONE sequential
+left-to-right pass over 2048-byte output tiles (TPU grids execute in
+order on a core, so a VMEM scratch carries state across tiles):
+
+  paint    — each tile's owning tokens come from a bounded, contiguous
+             token window (tokens are ordered and every live token emits
+             >= 1 byte), located by a tiny searchsorted outside the
+             kernel.  Token fields land at their start bytes as one-hot
+             MXU matmuls — replacing the XLA scatters.
+  fill     — per-byte ownership by in-tile cummax of (start<<w | field)
+             keys (7 lane + 4 sublane shifted maxes) with cross-tile
+             carries — replacing four full-length XLA cummaxes.
+  collapse — constant-distance runs (the general form of the reference's
+             off1/off2 overlap special cases, /root/reference/
+             deflate.py:1630-1652) collapse analytically to their first
+             period, bounding chain depth by match-nesting only.
+  resolve  — back-reference chains: pointers strictly decrease, so by
+             the time tile t is processed every earlier byte is already
+             resolved in the VMEM scratch.  In-tile chains close in
+             log2(2048) pointer-doubling rounds of SMALL (2048,16)@
+             (16,128) gathers; then ONE (2048,512)@(512,128) pull reads
+             resolved bytes from scratch.  The XLA/resolve formulation
+             needed ~10 full-range rounds; this needs 1 + cheap local
+             rounds, with no convergence fallback (depth bounds are
+             structural, not probabilistic).
+
+Values cross the MXU as bf16-exact <=255 byte planes (one-hots are 0/1;
+fields split at 8-bit boundaries).  Stored-block tokens need an input-
+data gather and are routed to the XLA fallback by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+OTILE = 2048  # output bytes per grid step
+OROWS = OTILE // 128  # 16
+WROWS = OROWS + 1  # token-window rows (2049 owners + <=127 alignment)
+W = WROWS * 128
+
+NEG = -(1 << 30)  # python int: jnp scalars would be captured consts in pallas
+
+# carry channels (VMEM scratch rows)
+C_KEY1 = 0  # ff key: st0<<11 | kind<<9 | ta
+C_KEY2 = 1  # ff key: st0<<8 | tb_lo
+C_KEY3 = 2  # ff key: st0<<8 | tb_hi
+C_RUNS = 3  # cummax of run starts
+C_PREV = 4  # last element's is_m<<17 | dist
+
+
+def _bdot(a, b):
+    return jnp.dot(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _flatten_cols(tile_i32, es, maskc):
+    """(R, 128) int32 (values in [0, 2^16)) -> (R*128, 1) f32 column."""
+    t = tile_i32.astype(jnp.float32)
+    hi = jnp.floor(t * (1.0 / 256.0))
+    lo = t - hi * 256.0
+    return (
+        jnp.sum(_bdot(es, hi) * maskc, axis=1, keepdims=True) * 256.0
+        + jnp.sum(_bdot(es, lo) * maskc, axis=1, keepdims=True)
+    )
+
+
+def _unflatten(col_f32, esT, maskc, rows):
+    """(rows*128, 1) f32 (values in [0, 2^16)) -> (rows, 128) f32."""
+    hi = jnp.floor(col_f32 * (1.0 / 256.0))
+    lo = col_f32 - hi * 256.0
+    return _bdot(esT, hi * maskc) * 256.0 + _bdot(esT, lo * maskc)
+
+
+def _paint(oh_rT, oh_l, col_f32):
+    """Scatter col values (masked by oh_l) to a (OROWS, 128) tile."""
+    hi = jnp.floor(col_f32 * (1.0 / 256.0))
+    lo = col_f32 - hi * 256.0
+    return _bdot(oh_rT, oh_l * hi) * 256.0 + _bdot(oh_rT, oh_l * lo)
+
+
+def _flat_cummax(x, carry):
+    """Inclusive cummax of (OROWS, 128) int32 in flat row-major order,
+    seeded with scalar `carry`; returns (filled, new_carry)."""
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        sh = jnp.concatenate(
+            [jnp.full((OROWS, k), NEG, jnp.int32), x[:, : 128 - k]], axis=1
+        )
+        x = jnp.maximum(x, sh)
+    # per-row totals -> exclusive prefix over rows.  x is monotone within a
+    # row after the lane phase, so the row total is a plain lane max.
+    # (Mosaic cannot concat width-1 vectors along sublanes, so the row
+    # scan runs at full 128-lane width.)
+    p = jnp.broadcast_to(jnp.max(x, axis=1, keepdims=True), (OROWS, 128))
+    for k in (1, 2, 4, 8):
+        sh = jnp.concatenate(
+            [jnp.full((k, 128), NEG, jnp.int32), p[: OROWS - k, :]], axis=0
+        )
+        p = jnp.maximum(p, sh)
+    excl = jnp.concatenate(
+        [jnp.full((1, 128), NEG, jnp.int32), p[: OROWS - 1, :]], axis=0
+    )
+    x = jnp.maximum(x, excl)
+    x = jnp.maximum(x, carry)
+    return x, jnp.max(x)
+
+
+def _expand_kernel(
+    tok_lo_ref, tp_ref, tot_ref,  # SMEM: (B,T), (B,), (B,)
+    off_ref, c1_ref, tb_ref,  # VMEM token fields (1, KR, 128)
+    out_ref,  # (1, OROWS, 128) int32 output tile
+    res_ref, carry_ref,  # scratch: (out_rows, 128) f32, (8, 128) int32
+    *, T: int, KR: int, out_cap: int,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    tile_start = t * OTILE
+    tp = tp_ref[b]
+    total = tot_ref[b]
+
+    @pl.when(t == 0)
+    def _init():
+        carry_ref[:, :] = jnp.full((8, 128), NEG, jnp.int32)
+        carry_ref[C_PREV, :] = jnp.zeros((128,), jnp.int32)
+        # uninitialized VMEM may hold NaN; 0 * NaN = NaN would poison the
+        # one-hot pull matmuls, so the resolved-bytes scratch must be zeroed
+        res_ref[:, :] = jnp.zeros_like(res_ref)
+
+    # ---- token window ---------------------------------------------------
+    lo_row = tok_lo_ref[b, t] >> 7  # row-aligned window start
+    woff = off_ref[0, pl.ds(lo_row, WROWS), :]
+    wc1 = c1_ref[0, pl.ds(lo_row, WROWS), :]
+    wtb = tb_ref[0, pl.ds(lo_row, WROWS), :]
+
+    eidx = (
+        lo_row * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (WROWS, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (WROWS, 128), 1)
+    )
+    live = eidx < tp
+    rel = woff - tile_start
+    inw = live & (rel >= 0) & (rel < OTILE)
+    relc = jnp.where(inw, rel, OTILE)  # parked outside every paint row
+
+    # flatten window fields to (W, 1) columns
+    gi = jax.lax.broadcasted_iota(jnp.int32, (W, WROWS), 0) >> 7
+    es = (gi == jax.lax.broadcasted_iota(jnp.int32, (W, WROWS), 1)).astype(
+        jnp.float32
+    )
+    ci = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0) & 127
+    maskc_w = (ci == jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)).astype(
+        jnp.float32
+    )
+    rel_col = _flatten_cols(relc, es, maskc_w)  # values <= OTILE
+    c1_col = _flatten_cols(jnp.where(inw, wc1, 0), es, maskc_w)
+    tb_col = _flatten_cols(jnp.where(inw, wtb, 0), es, maskc_w)
+    inw_col = _flatten_cols(inw.astype(jnp.int32), es, maskc_w)
+
+    # ---- paint window fields at their start bytes -----------------------
+    rrow = jnp.floor(rel_col * (1.0 / 128.0))
+    rlane = rel_col - rrow * 128.0
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (OROWS, W), 0).astype(jnp.float32)
+    oh_rT = (rrow.T == wiota).astype(jnp.float32)  # (OROWS, W)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1).astype(jnp.float32)
+    oh_l = (rlane == liota).astype(jnp.float32) * inw_col  # (W, 128)
+
+    pr = _paint(oh_rT, oh_l, rel_col)
+    pc1 = _paint(oh_rT, oh_l, c1_col)
+    ptb = _paint(oh_rT, oh_l, tb_col)
+    pflag = _bdot(oh_rT, oh_l)  # paint count per byte: 1 owner or 0
+
+    painted = pflag > 0.5
+    st0 = (pr.astype(jnp.int32) + tile_start)  # global start (garbage if !painted)
+    c1v = pc1.astype(jnp.int32)
+    tbv = ptb.astype(jnp.int32)
+
+    # ---- forward fill (in-tile cummax + cross-tile carries) -------------
+    key1 = jnp.where(painted, (st0 << 11) | c1v, NEG)
+    key2 = jnp.where(painted, (st0 << 8) | (tbv & 0xFF), NEG)
+    key3 = jnp.where(painted, (st0 << 8) | (tbv >> 8), NEG)
+    f1, nc1 = _flat_cummax(key1, jnp.max(carry_ref[C_KEY1, :]))
+    f2, nc2 = _flat_cummax(key2, jnp.max(carry_ref[C_KEY2, :]))
+    f3, nc3 = _flat_cummax(key3, jnp.max(carry_ref[C_KEY3, :]))
+    carry_ref[C_KEY1, :] = jnp.broadcast_to(nc1, (128,))
+    carry_ref[C_KEY2, :] = jnp.broadcast_to(nc2, (128,))
+    carry_ref[C_KEY3, :] = jnp.broadcast_to(nc3, (128,))
+
+    filled = f1 >= 0
+    st = jnp.where(filled, f1 >> 11, 0)
+    kind = (f1 >> 9) & 3
+    ta = f1 & 0x1FF
+    dist = jnp.where(filled, (f2 & 0xFF) | ((f3 & 0xFF) << 8), 0)
+
+    p = (
+        tile_start
+        + jax.lax.broadcasted_iota(jnp.int32, (OROWS, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (OROWS, 128), 1)
+    )
+    in_range = filled & (p < total)
+    is_m = in_range & (kind == 1)
+
+    # ---- constant-distance run collapse ---------------------------------
+    # prev element (flat shift by one) of packed is_m<<17 | dist:
+    # lanes shift within rows; lane 0 takes the previous row's lane 127;
+    # row 0 lane 0 takes the cross-tile carry.
+    mb = jnp.where(is_m, (1 << 17) | dist, 0)
+    lane_sh = jnp.concatenate([jnp.zeros((OROWS, 1), jnp.int32), mb[:, :127]], axis=1)
+    row_last = jnp.broadcast_to(mb[:, 127:128], (OROWS, 128))
+    carry_row = jnp.broadcast_to(jnp.max(carry_ref[C_PREV, :]), (1, 128))
+    prev_row_last = jnp.concatenate(
+        [carry_row, row_last[: OROWS - 1, :]], axis=0
+    )
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (OROWS, 128), 1) == 0
+    prev_mb = jnp.where(col0, prev_row_last, lane_sh)
+    carry_ref[C_PREV, :] = jnp.broadcast_to(
+        jnp.max(mb[OROWS - 1 : OROWS, 127:128]), (128,)
+    )
+
+    prev_m = (prev_mb >> 17) & 1
+    prev_b = prev_mb & 0x1FFFF
+    run_start = is_m & ((prev_m == 0) | (prev_b != dist))
+    S_in = jnp.where(run_start, p, NEG)
+    S, ncS = _flat_cummax(S_in, jnp.max(carry_ref[C_RUNS, :]))
+    carry_ref[C_RUNS, :] = jnp.broadcast_to(ncS, (128,))
+
+    bc = jnp.maximum(dist, 1)
+    sd = S - bc
+    collapsed = sd + jnp.remainder(p - sd, bc)
+    parent = jnp.where(is_m, jnp.clip(p - dist, 0, out_cap - 1), p)
+    parent = jnp.where(
+        is_m & (S > NEG), jnp.clip(collapsed, 0, out_cap - 1), parent
+    )
+    val = jnp.where(in_range & (kind == 0), ta, 0)
+
+    # ---- resolve: local pointer doubling, then one global pull ----------
+    gi2 = jax.lax.broadcasted_iota(jnp.int32, (OTILE, OROWS), 0) >> 7
+    es2 = (gi2 == jax.lax.broadcasted_iota(jnp.int32, (OTILE, OROWS), 1)).astype(
+        jnp.float32
+    )
+    ci2 = jax.lax.broadcasted_iota(jnp.int32, (OTILE, 128), 0) & 127
+    maskc2 = (ci2 == jax.lax.broadcasted_iota(jnp.int32, (OTILE, 128), 1)).astype(
+        jnp.float32
+    )
+    q = _flatten_cols(parent, es2, maskc2)  # (OTILE, 1) f32 global pointers
+
+    riota16 = jax.lax.broadcasted_iota(jnp.int32, (OTILE, OROWS), 1).astype(
+        jnp.float32
+    )
+    liota2 = jax.lax.broadcasted_iota(jnp.int32, (OTILE, 128), 1).astype(jnp.float32)
+    esT2 = es2.T  # (OROWS, OTILE)
+
+    def local_pick(col, planes_hi, planes_lo):
+        qrel = col - jnp.float32(tile_start)
+        rows = jnp.floor(qrel * (1.0 / 128.0))
+        lanes = qrel - rows * 128.0
+        oh = (rows == riota16).astype(jnp.float32)  # (OTILE, OROWS)
+        lm = (lanes == liota2).astype(jnp.float32)  # (OTILE, 128)
+        gh = jnp.sum(_bdot(oh, planes_hi) * lm, axis=1, keepdims=True)
+        gl = jnp.sum(_bdot(oh, planes_lo) * lm, axis=1, keepdims=True)
+        return gh * 256.0 + gl
+
+    # pointer doubling: q <- Q[q] with Q the CURRENT pointer plane, so the
+    # plane must be refreshed (unflattened from q) every round
+    par_f = parent.astype(jnp.float32)
+    n_rounds = int(np.ceil(np.log2(OTILE)))
+    for r in range(n_rounds):
+        ph = jnp.floor(par_f * (1.0 / 256.0))
+        plo = par_f - ph * 256.0
+        in_tile = q >= jnp.float32(tile_start)
+        q2 = local_pick(q, ph, plo)
+        q = jnp.where(in_tile, q2, q)
+        if r + 1 < n_rounds:
+            par_f = _unflatten(q, esT2, maskc2, OROWS)
+
+    # global pull from resolved scratch (single byte plane: values <= 255)
+    rows_g = jnp.floor(q * (1.0 / 128.0))
+    lanes_g = q - rows_g * 128.0
+    res_rows = out_cap // 128
+    griota = jax.lax.broadcasted_iota(jnp.int32, (OTILE, res_rows), 1).astype(
+        jnp.float32
+    )
+    oh_g = (rows_g == griota).astype(jnp.float32)  # (OTILE, res_rows)
+    vg = jnp.sum(
+        _bdot(oh_g, res_ref[:, :]) * ((lanes_g == liota2).astype(jnp.float32)),
+        axis=1,
+        keepdims=True,
+    )
+
+    # in-tile roots read the local literal value plane
+    vf = val.astype(jnp.float32)
+    vl = local_pick(q, jnp.zeros_like(vf), vf)
+    v = jnp.where(q < jnp.float32(tile_start), vg, vl)  # (OTILE, 1)
+
+    vtile = _unflatten(v, esT2, maskc2, OROWS)  # (OROWS, 128) f32
+    res_ref[pl.ds(t * OROWS, OROWS), :] = vtile
+    out_ref[0] = jnp.where(in_range, vtile.astype(jnp.int32), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "interpret"))
+def expand_fused(
+    off: jax.Array,  # int32[B, K] per-token exclusive output offsets
+    c1: jax.Array,  # int32[B, K] kind<<9 | ta  (kind in {0 lit, 1 match})
+    tb: jax.Array,  # int32[B, K] match distance (0 for literals)
+    tp: jax.Array,  # int32[B] live token counts
+    total: jax.Array,  # int32[B] total output bytes
+    out_cap: int,
+    interpret: bool = False,
+):
+    """Fused paint+fill+collapse+resolve.  Returns int32[B, out_cap]."""
+    B, K = off.shape
+    T = out_cap // OTILE
+    KR = -(-K // 128)
+    pad = KR * 128 - K
+    if pad:
+        off = jnp.pad(off, ((0, 0), (0, pad)), constant_values=out_cap)
+        c1 = jnp.pad(c1, ((0, 0), (0, pad)))
+        tb = jnp.pad(tb, ((0, 0), (0, pad)))
+    # windows need WROWS rows beyond the last owner row
+    extra = WROWS * 128
+    off = jnp.pad(off, ((0, 0), (0, extra)), constant_values=out_cap)
+    c1 = jnp.pad(c1, ((0, 0), (0, extra)))
+    tb = jnp.pad(tb, ((0, 0), (0, extra)))
+    KR += WROWS
+
+    # owner token of each tile's first byte (few queries -> cheap gathers)
+    tile_firsts = jnp.arange(T, dtype=jnp.int32) * OTILE
+    # clamp offsets of dead tokens so searchsorted stays ordered
+    owner = (
+        jax.vmap(
+            lambda o: jnp.searchsorted(o, tile_firsts, side="right")
+        )(off).astype(jnp.int32)
+        - 1
+    )
+    tok_lo = jnp.clip(owner, 0, KR * 128 - WROWS * 128)
+
+    kern = functools.partial(_expand_kernel, T=T, KR=KR, out_cap=out_cap)
+    tok3 = lambda x: x.reshape(B, KR, 128)
+    vspec = pl.BlockSpec((1, KR, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, T),
+        out_shape=jax.ShapeDtypeStruct((B, T * OROWS, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vspec,
+            vspec,
+            vspec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, OROWS, 128), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((out_cap // 128, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tok_lo, tp.astype(jnp.int32), total.astype(jnp.int32), tok3(off), tok3(c1), tok3(tb))
+    return out.reshape(B, out_cap)

@@ -767,10 +767,32 @@ def tokenize(
             ),
             s["err"],
         )
-        # ONE scatter per pass: token fields packed into a single int32
-        # (kind 2b | len-or-byte 9b | dist 17b); dump slot = tok_cap-1
+        # ONE compaction per pass: token fields packed into a single int32
+        # (kind 2b | len-or-byte 9b | dist 17b).  Slots are NONDECREASING
+        # (a cumsum of the reach mask), so on TPU the compaction runs as
+        # the monotone one-hot MXU kernel instead of an XLA scatter (the
+        # scatter ran at ~100M idx/s and dominated tokenize).
         packed_tok = (tk_val << 26) | (ta_val << 17) | (tb_val & 0x1FFFF)
-        new_tk = s["tk"].at[slot].set(packed_tok)
+        import os as _os
+
+        if jax.devices()[0].platform == "tpu" and not _os.environ.get(
+            "TPU_DEFLATE_NO_MONO_COMPACT"
+        ):
+            from tpu_deflate.kernels.monotone import mono_compact
+
+            slot2 = jnp.where(
+                tmask & cap_ok, tp + ord1 - 1, jnp.int32(tok_cap)
+            )
+            ch = jnp.stack(
+                [
+                    jnp.where(tmask, packed_tok & 0x3FFF, 0),
+                    jnp.where(tmask, packed_tok >> 14, 0),
+                ]
+            )
+            comp = mono_compact(slot2, ch, tok_cap)
+            new_tk = s["tk"] + comp[0] + (comp[1] << 14)
+        else:
+            new_tk = s["tk"].at[slot].set(packed_tok)
         return dict(
             s,
             pos=new_pos,
@@ -933,21 +955,50 @@ def expand_batch(data, tk, ta, tb, tp, out_cap: int):
     """Stage 2, batched over chunk lanes: token arrays -> output bytes.
 
     data: uint8[B, M]; tk/ta/tb: int32[B, TOK]; tp: int32[B].
-    Returns (uint8[B, out_cap], int32[B] totals).  Kept batch-level so the
-    back-reference resolution runs as ONE Pallas grid over all lanes."""
+    Returns (uint8[B, out_cap], int32[B] totals).  On TPU the whole stage
+    (paint + fill + run collapse + back-ref resolve) runs as ONE fused
+    sequential Pallas kernel (kernels/expand.py); streams containing
+    stored-block tokens (which need an input-data gather) take the XLA
+    path via a runtime cond."""
+    import os as _os
+
+    from tpu_deflate.kernels.expand import OTILE, expand_fused
     from tpu_deflate.kernels.resolve import resolve_roots
 
     data_axis = 0 if data.ndim == 2 else None  # 1-D = shared stream blob
-    any_stored = jnp.any(
-        (tk == TK_STORED) & (jnp.arange(tk.shape[-1]) < tp[..., None])
+    TOK = tk.shape[-1]
+    live = jnp.arange(TOK) < tp[..., None]
+    any_stored = jnp.any((tk == TK_STORED) & live)
+
+    def xla_path(_):
+        val, parent, in_range, total = jax.vmap(
+            functools.partial(_expand_fields, out_cap=out_cap),
+            in_axes=(data_axis, 0, 0, 0, 0, None),
+        )(data, tk, ta, tb, tp, any_stored)
+        root = resolve_roots(parent, val)
+        out = jnp.where(in_range, root, 0).astype(jnp.uint8)
+        return out, total
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_kernel = (
+        on_tpu
+        and out_cap % OTILE == 0
+        and OTILE <= out_cap <= (1 << 16)
+        and tk.ndim == 2
+        and not _os.environ.get("TPU_DEFLATE_NO_PALLAS_EXPAND")
     )
-    val, parent, in_range, total = jax.vmap(
-        functools.partial(_expand_fields, out_cap=out_cap),
-        in_axes=(data_axis, 0, 0, 0, 0, None),
-    )(data, tk, ta, tb, tp, any_stored)
-    root = resolve_roots(parent, val)
-    out = jnp.where(in_range, root, 0).astype(jnp.uint8)
-    return out, total
+    if not use_kernel:
+        return xla_path(None)
+
+    def kern_path(_):
+        out_len_tok = jnp.where(live, jnp.where(tk == TK_LIT, 1, ta), 0)
+        off = (jnp.cumsum(out_len_tok, axis=-1) - out_len_tok).astype(jnp.int32)
+        total = jnp.sum(out_len_tok, axis=-1).astype(jnp.int32)
+        c1 = ((tk & 3) << 9) | (ta & 0x1FF)
+        outk = expand_fused(off, c1, tb, tp, total, out_cap=out_cap)
+        return outk.astype(jnp.uint8), total
+
+    return jax.lax.cond(any_stored, xla_path, kern_path, None)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
