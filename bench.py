@@ -119,12 +119,13 @@ def main():
     try:
         dends = (8 * sizes).astype(jnp.int32)
         tok_cap = chunk + 16
+        from tpu_deflate.ops.decode import chunk_pwin
 
         def dec_fn(rows, ee):
             tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
                 lambda row, e: tokenize(
-                    row, 0, tok_cap=tok_cap, end_bit=e, pwin=1 << 18,
-                    stop_at_eob=True,
+                    row, 0, tok_cap=tok_cap, end_bit=e, pwin=chunk_pwin(chunk),
+                    stop_at_eob=True, static_only=True,
                 )
             )(rows, ee)
             o, total = expand_batch(rows, tk, ta, tb, tp, out_cap=chunk)

@@ -236,3 +236,81 @@ class TestGzipMembers:
         g = api.compress_gzip_members(b"", self.CFG)
         assert gz.decompress(g) == b""
         assert api.decompress_gzip(g, self.CFG) == b""
+
+
+class TestStaticOnlyTokenizer:
+    """static_only=True must agree bit-exactly with the general tokenizer
+    on stored/static streams and reject dynamic blocks with ERR_DYNAMIC."""
+
+    def test_static_stream_parity(self):
+        import zlib
+
+        import jax.numpy as jnp
+
+        from tpu_deflate.ops import decode as D
+
+        data = (b"hello world, hello TPU! " * 300) + bytes(range(256)) * 4
+        co = zlib.compressobj(6, zlib.DEFLATED, 15, 8, zlib.Z_FIXED)
+        s = co.compress(data) + co.flush()
+        raw = np.frombuffer(s, np.uint8)[2:-4]
+        arr = jnp.asarray(np.pad(raw, (0, 4096 - len(raw))))
+        outs = []
+        for so in (False, True):
+            tk, ta, tb, tp, tot, pos, err = D.tokenize(
+                arr, 0, tok_cap=1 << 14, pwin=1 << 15,
+                stop_at_eob=True, static_only=so,
+            )
+            assert int(err) == 0
+            out, total = D.expand(arr, tk, ta, tb, tp, out_cap=1 << 14)
+            outs.append(np.asarray(out)[: int(total)].tobytes())
+        assert outs[0] == data
+        assert outs[1] == data
+
+    def test_stored_block_under_static_only(self):
+        import zlib
+
+        import jax.numpy as jnp
+
+        from tpu_deflate.ops import decode as D
+
+        data = np.random.default_rng(9).integers(0, 256, 5000, np.uint8).tobytes()
+        s = zlib.compress(data, 0)  # stored blocks
+        raw = np.frombuffer(s, np.uint8)[2:-4]
+        arr = jnp.asarray(np.pad(raw, (0, 8192 - len(raw))))
+        tk, ta, tb, tp, tot, pos, err = D.tokenize(
+            arr, 0, tok_cap=1 << 14, pwin=1 << 15,
+            stop_at_eob=False, static_only=True,
+        )
+        assert int(err) == 0
+        out, total = D.expand(arr, tk, ta, tb, tp, out_cap=1 << 14)
+        assert np.asarray(out)[: int(total)].tobytes() == data
+
+    def test_dynamic_rejected(self):
+        import zlib
+
+        import jax.numpy as jnp
+
+        from tpu_deflate.ops import decode as D
+
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 200, 8000, np.uint8).tobytes() * 2
+        s = zlib.compress(data, 6)
+        raw = np.frombuffer(s, np.uint8)[2:-4]
+        arr = jnp.asarray(np.pad(raw, (0, (1 << 15) - len(raw))))
+        assert (raw[0] >> 1) & 3 == 2, "corpus should force a dynamic block"
+        tk, ta, tb, tp, tot, pos, err = D.tokenize(
+            arr, 0, tok_cap=1 << 14, pwin=1 << 15,
+            stop_at_eob=True, static_only=True,
+        )
+        assert int(err) == D.ERR_DYNAMIC
+
+    def test_indexed_roundtrip_static_fast_path(self):
+        from tpu_deflate import api
+        from tpu_deflate.config import DeflateConfig
+
+        cfg = DeflateConfig(chunk_size=4096)
+        data = b"".join(
+            bytes([i % 251]) * (17 + i % 37) for i in range(600)
+        )
+        stream, index = api.compress_indexed(data, cfg)
+        assert api.decompress_indexed(stream, index, cfg) == data

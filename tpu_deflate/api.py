@@ -154,21 +154,32 @@ def decompress_indexed(
 
     chunk = config.chunk_size
     tok_cap = chunk + 16
+    from tpu_deflate.ops.decode import ERR_DYNAMIC, chunk_pwin
 
-    def dec(ss, ee):
+    def dec(ss, ee, static_only):
         tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
             lambda s, e: tokenize(
-                dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=1 << 15,
-                stop_at_eob=True,
+                dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=chunk_pwin(chunk),
+                stop_at_eob=True, static_only=static_only,
             )
         )(ss, ee)
         o, total = expand_batch(dbuf, tk, ta, tb, tp, out_cap=chunk)
         return o, total, err
 
-    outs, totals, errs = jax.jit(dec)(
-        jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32)
+    # arithmetic static decode first (our container is static/stored
+    # unless dynamic_encode); fall back on ERR_DYNAMIC lanes
+    ss = jnp.asarray(starts, jnp.int32)
+    ee = jnp.asarray(ends, jnp.int32)
+    static_first = not config.dynamic_encode
+    outs, totals, errs = jax.jit(dec, static_argnames=("static_only",))(
+        ss, ee, static_only=static_first
     )
     errs = np.asarray(errs)[:nchunks]
+    if static_first and (errs == ERR_DYNAMIC).any():
+        outs, totals, errs = jax.jit(dec, static_argnames=("static_only",))(
+            ss, ee, static_only=False
+        )
+        errs = np.asarray(errs)[:nchunks]
     if (errs != 0).any():
         raise ValueError(f"inflate error codes {errs[errs != 0][:8]}")
     outs_h = np.asarray(outs)[:nchunks]
@@ -366,12 +377,13 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
         starts[i] = 8 * s
         ends[i] = 8 * e
     tok_cap = chunk + 16
+    from tpu_deflate.ops.decode import ERR_DYNAMIC, chunk_pwin
 
-    def dec(ss, ee):
+    def dec(ss, ee, static_only=False):
         tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
             lambda s, e: tokenize(
-                dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=1 << 15,
-                stop_at_eob=True,
+                dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=chunk_pwin(chunk),
+                stop_at_eob=True, static_only=static_only,
             )
         )(ss, ee)
         o, total = expand_batch(dbuf, tk, ta, tb, tp, out_cap=chunk)

@@ -69,6 +69,7 @@ ERR_DIST = 4
 ERR_OVERFLOW = 5
 ERR_STORED = 6
 ERR_INPUT = 7
+ERR_DYNAMIC = 8  # static_only tokenizer met a dynamic-tree block
 
 # candidate kinds packed into the per-position plane
 K_LIT = 0
@@ -426,6 +427,114 @@ def _candidate_plane(
     return jax.lax.dynamic_slice(flat, (r0,), (pwin,))
 
 
+def _candidate_plane_static(data: jax.Array, base: jax.Array, pwin: int, end_bit: jax.Array):
+    """Static-tree candidate plane with PURE ARITHMETIC symbol decode.
+
+    The RFC 1951 static literal/length code (deflate.py:1064-1073 in the
+    reference) is piecewise affine in the MSB-first prefix, and the
+    length/distance base+extra tables follow closed forms — so no
+    metadata table (and none of the 288-entry one-hot reduce that
+    dominates the generic plane) is needed:
+
+      7 bits: prefix>>8  in [  0, 24)  -> sym 256 + c
+      8 bits: prefix>>7  in [ 48,192)  -> sym c - 48      (literals 0-143)
+              prefix>>7  in [192,200)  -> sym 280 + c-192
+      9 bits: prefix>>6  in [400,512)  -> sym 144 + c-400 (literals 144-255)
+      length  sym 257+i: ebits = max(0,(i>>2)-1), base = i<8 ? i+3
+              : ((4+(i&3))<<ebits)+3;  i=28 -> 258 exactly
+      dist    sym d (5-bit reversed): debits = max(0,(d>>1)-1),
+              base = d<2 ? d+1 : ((2+(d&1))<<debits)+1
+    """
+    U = pwin // 8 + 1
+    byte0 = base >> 3
+    r0 = base & 7
+    nslice = U + 8
+    b = jax.lax.dynamic_slice(data, (byte0,), (nslice,)).astype(jnp.uint32)
+    lo = b[0:U] | (b[1:U + 1] << 8) | (b[2:U + 2] << 16) | (b[3:U + 3] << 24)
+    hi = b[4:U + 4] | (b[5:U + 5] << 8) | (b[6:U + 6] << 16) | (b[7:U + 7] << 24)
+    lo = lo[None, :]
+    hi = hi[None, :]
+    r = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def get(shift, nbits):
+        s = (r + shift).astype(jnp.uint32)
+        s2 = s & 31
+        a = (lo >> s2) | ((hi << (31 - s2)) << 1)
+        v = jnp.where(s < 32, a, hi >> s2).astype(jnp.uint32)
+        if isinstance(nbits, int):
+            mask = jnp.uint32((1 << nbits) - 1)
+        else:
+            mask = (jnp.uint32(1) << nbits.astype(jnp.uint32)) - 1
+        return (v & mask).astype(jnp.int32)
+
+    # literal/length: 9-bit reversed prefix, arithmetic classification
+    v9 = _revbits15_vec(get(0, 9)) >> 7  # MSB-first 9-bit prefix
+    c7 = v9 >> 2
+    c8 = v9 >> 1
+    is7 = c7 < 24
+    is8 = ~is7 & (c8 >= 48) & (c8 < 200)
+    # c8 in [24,48) and [200,208) are 8-bit gaps -> those prefixes are the
+    # start of 9-bit codes; all 9-bit patterns >= 400 are valid literals
+    is9 = ~is7 & ~is8 & (v9 >= 400)
+    nb = jnp.where(is7, 7, jnp.where(is8, 8, 9))
+    sym = jnp.where(
+        is7,
+        256 + c7,
+        jnp.where(
+            is8,
+            jnp.where(c8 < 192, c8 - 48, 280 + (c8 - 192)),
+            144 + (v9 - 400),
+        ),
+    )
+    bad = ~(is7 | is8 | is9) | (sym > 285)
+    is_lit = sym < 256
+    is_eob = sym == 256
+    i = jnp.clip(sym - 257, 0, 28)
+    ebits = jnp.clip((i >> 2) - 1, 0, 5)
+    lbase = jnp.where(i < 8, i + 3, ((4 + (i & 3)) << ebits) + 3)
+    lbase = jnp.where(i == 28, 258, lbase)
+    ebits = jnp.where(i == 28, 0, ebits)
+    lext = get(nb, 5) & ((1 << ebits) - 1)
+    length = lbase + lext
+    is_m = ~is_lit & ~is_eob & ~bad
+
+    # distance: 5 bits, bit-reversed, arithmetic base/extra
+    doff = nb + jnp.where(is_m, ebits, 0)
+    d5 = get(doff, 5)
+    dsym = (
+        ((d5 & 1) << 4) | ((d5 & 2) << 2) | (d5 & 4) | ((d5 >> 2) & 2) | (d5 >> 4)
+    )
+    bad_d = dsym > 29
+    debits = jnp.clip((dsym >> 1) - 1, 0, 13)
+    dbase = jnp.where(dsym < 2, dsym + 1, ((2 + (dsym & 1)) << debits) + 1)
+    dext = get(doff + 5, 13) & ((1 << debits) - 1)
+    dist = dbase + dext
+
+    kind = jnp.where(
+        bad | (is_m & bad_d),
+        K_BAD,
+        jnp.where(is_lit, K_LIT, jnp.where(is_eob, K_EOB, K_MATCH)),
+    )
+    is_m = kind == K_MATCH
+    adv = jnp.where(
+        is_m, nb + ebits + 5 + debits, jnp.where(kind == K_BAD, 1, nb)
+    )
+    ta = jnp.where(kind == K_LIT, sym, jnp.where(is_m, length, 0))
+    tbm1 = jnp.where(is_m, dist - 1, 0)
+
+    q = 8 * jax.lax.broadcasted_iota(jnp.int32, (8, U), 1) + jax.lax.broadcasted_iota(
+        jnp.int32, (8, U), 0
+    )
+    p_abs = 8 * byte0 + q
+    oob = p_abs >= end_bit
+    kind = jnp.where(oob, K_BAD, kind)
+    adv = jnp.where(oob, 1, adv)
+
+    plane = (kind << 30) | (adv << 24) | (ta << 15) | tbm1
+    flat = plane.T.reshape(-1)
+    return jax.lax.dynamic_slice(flat, (r0,), (pwin,))
+
+
 def chase_reach(adv: jax.Array, term: jax.Array, P: int) -> jax.Array:
     """Positions reachable from index 0 under next[p] = p + adv[p].
 
@@ -499,7 +608,9 @@ def _chase(plane: jax.Array, pwin: int):
     return chase_reach(adv, term, pwin)
 
 
-@functools.partial(jax.jit, static_argnames=("tok_cap", "pwin", "stop_at_eob"))
+@functools.partial(
+    jax.jit, static_argnames=("tok_cap", "pwin", "stop_at_eob", "static_only")
+)
 def tokenize(
     data: jax.Array,
     start_bit: jax.Array,
@@ -507,6 +618,7 @@ def tokenize(
     end_bit: jax.Array | None = None,
     pwin: int = 1 << 18,
     stop_at_eob: bool = False,
+    static_only: bool = False,
 ):
     """Stage 1: bitstream -> token arrays.
 
@@ -515,6 +627,10 @@ def tokenize(
     bounds this decode for chunk-parallel lanes; ``stop_at_eob`` makes any
     end-of-block terminate the lane (indexed chunks are one block each, so
     lanes skip the inter-chunk alignment markers entirely).
+    ``static_only``: specialize for stored/static blocks only — the
+    candidate plane becomes pure arithmetic (the LOWLUT analog; dynamic
+    blocks return ERR_DYNAMIC so callers can fall back).  Our own
+    container with dynamic_encode=False guarantees this statically.
     Returns (tk, ta, tb, tp, out_total, end_pos, err).
     """
     M = data.shape[0]
@@ -538,6 +654,16 @@ def tokenize(
         pos=jnp.asarray(start_bit, jnp.int32),
         mode=jnp.int32(M_HEADER),
         bfinal=jnp.int32(0),
+        tk=jnp.zeros((tok_cap,), jnp.int32),
+        ta=jnp.zeros((tok_cap,), jnp.int32),
+        tb=jnp.zeros((tok_cap,), jnp.int32),
+        tp=jnp.int32(0),
+        out_total=jnp.int32(0),
+        err=jnp.int32(ERR_OK),
+    )
+    if not static_only:
+        state = dict(
+        state,
         hlit=jnp.int32(0),
         hdist=jnp.int32(0),
         cl_idx=jnp.int32(0),
@@ -549,13 +675,7 @@ def tokenize(
         dist_meta=jnp.asarray(_S_DIST_META),
         cl_tab=jnp.zeros((1 << CL_BITS,), jnp.int32),
         lengths=jnp.zeros((MAX_SYMS,), jnp.int32),
-        tk=jnp.zeros((tok_cap,), jnp.int32),
-        ta=jnp.zeros((tok_cap,), jnp.int32),
-        tb=jnp.zeros((tok_cap,), jnp.int32),
-        tp=jnp.int32(0),
-        out_total=jnp.int32(0),
-        err=jnp.int32(ERR_OK),
-    )
+        )
 
     # ---------------- block header (stored / static / dynamic) ----------
     def header_fn(s):
@@ -589,6 +709,8 @@ def tokenize(
             )
 
         def static(s):
+            if static_only:
+                return dict(s, pos=pos3, bfinal=bfinal, mode=jnp.int32(M_TOKENS))
             return dict(
                 s,
                 pos=pos3,
@@ -603,6 +725,11 @@ def tokenize(
             )
 
         def dynamic(s):
+            if static_only:
+                return dict(
+                    s, bfinal=bfinal, mode=jnp.int32(M_ERROR),
+                    err=jnp.int32(ERR_DYNAMIC),
+                )
             hlit = peek(pos3, 5) + 257
             hdist = peek(pos3 + 5, 5) + 1
             hclen = peek(pos3 + 10, 4) + 4
@@ -704,11 +831,14 @@ def tokenize(
     def block_pass(s):
         base = s["pos"]
         rel = jnp.arange(pwin, dtype=jnp.int32)
-        plane = _candidate_plane(
-            data_ext, base, pwin, end_bit,
-            s["lit_lim"], s["lit_rd"], s["lit_meta"],
-            s["dist_lim"], s["dist_rd"], s["dist_meta"],
-        )
+        if static_only:
+            plane = _candidate_plane_static(data_ext, base, pwin, end_bit)
+        else:
+            plane = _candidate_plane(
+                data_ext, base, pwin, end_bit,
+                s["lit_lim"], s["lit_rd"], s["lit_meta"],
+                s["dist_lim"], s["dist_rd"], s["dist_meta"],
+            )
         reach = _chase(plane, pwin)
 
         kind = (plane >> 30) & 3
@@ -816,10 +946,11 @@ def tokenize(
 
     def outer_body(s):
         s = jax.lax.cond(s["mode"] == M_HEADER, header_fn, lambda s: s, s)
-        s = jax.lax.while_loop(
-            lambda s: (s["mode"] == M_CLLEN) & in_bounds(s), cllen_fn, s
-        )
-        s = jax.lax.cond(s["mode"] == M_TABLES, tables_fn, lambda s: s, s)
+        if not static_only:
+            s = jax.lax.while_loop(
+                lambda s: (s["mode"] == M_CLLEN) & in_bounds(s), cllen_fn, s
+            )
+            s = jax.lax.cond(s["mode"] == M_TABLES, tables_fn, lambda s: s, s)
         s = jax.lax.cond(s["mode"] == M_TOKENS, block_pass, lambda s: s, s)
         return s
 
@@ -1008,6 +1139,18 @@ def expand(data, tk, ta, tb, tp, out_cap: int):
         data[None], tk[None], ta[None], tb[None], tp[None], out_cap=out_cap
     )
     return out[0], total[0]
+
+
+def chunk_pwin(chunk: int) -> int:
+    """Single-pass-friendly plane window for chunk-parallel decode.
+
+    17 * 2^k bit positions (halvable to a <=64-tile chase hierarchy)
+    covering one chunk's compressed stream in ONE boundary-chase pass for
+    ratios up to ~0.53 — a bare power of two is a hair too small and
+    forces a second full-batch pass (measured: 265728-bit lanes vs 2^18).
+    """
+    k = max(6, min(14, int(np.ceil(np.log2(max(chunk, 64)))) - 2))
+    return 17 << k
 
 
 def _pick_pwin(nbytes: int) -> int:

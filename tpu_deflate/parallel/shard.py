@@ -118,7 +118,8 @@ def encode_sharded(
     return out, sizes, adler
 
 
-def decode_shard_fn(chunk_out_size: int, tok_cap: int, axis: str = "dp"):
+def decode_shard_fn(chunk_out_size: int, tok_cap: int, axis: str = "dp",
+                    static_only: bool = False):
     """Per-shard chunk-parallel decode for shard_map.
 
     Each lane decodes one chunk of the stream given its (start_bit,
@@ -127,11 +128,14 @@ def decode_shard_fn(chunk_out_size: int, tok_cap: int, axis: str = "dp"):
     Out: (out uint8[b, chunk_out_size], out_lens int32[b], errs int32[b]).
     """
 
+    from tpu_deflate.ops.decode import chunk_pwin
+
     def fn(data, start_bits, end_bits):
         tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
             lambda s, e: tokenize(
-                data, s, tok_cap=tok_cap, end_bit=e, pwin=1 << 15,
-                stop_at_eob=True,
+                data, s, tok_cap=tok_cap, end_bit=e,
+                pwin=chunk_pwin(chunk_out_size),
+                stop_at_eob=True, static_only=static_only,
             )
         )(start_bits, end_bits)
         out, total = expand_batch(data, tk, ta, tb, tp, out_cap=chunk_out_size)
