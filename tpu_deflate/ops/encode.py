@@ -268,6 +268,73 @@ def _extend_matches_select(b, dist, n, max_match: int, window: int):
     return jnp.minimum(length, jnp.maximum(n - idx, 0))
 
 
+def _match_extend_bitplane(b: jax.Array, n, window: int, max_match: int):
+    """Stages 1+2 fused via DISTANCE BITPLANES (window <= 256).
+
+    One byte-equality compare per distance, packed as bit (d-1)&31 of
+    uint32 channel (d-1)>>5.  From the packed planes, BOTH outputs fall
+    out in O(channels) ops per position:
+      * nearest 3-byte match: AND of three position-shifted planes, then
+        least-set-bit (priority encoder) across channels — the exact
+        semantics of the reference's matcher3 + priority scan
+        (deflate.py:407-421,979-994);
+      * extension (SEARCHF/SEARCH10 ladder, deflate.py:899-964): the
+        chosen distance's bit, extracted per position with a variable
+        shift, walked over max_match-3 position shifts.
+    ~4 ops per distance instead of ~25 — on this part the op DISPATCH
+    (~20-40us each at batch sizes) dominates, so op count is the cost.
+    """
+    N = b.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    bpad = jnp.concatenate([jnp.full((window,), -1, jnp.int32), b])
+    nch = (window + 31) // 32
+
+    def sh(x, j):
+        return jnp.concatenate([x[j:], jnp.zeros((j,), x.dtype)])
+
+    chans = []
+    for c in range(nch):
+        ch = jnp.zeros((N,), jnp.uint32)
+        for k in range(32):
+            d = 32 * c + k + 1
+            if d > window:
+                break
+            eqb = (b == jax.lax.dynamic_slice(bpad, (window - d,), (N,))).astype(
+                jnp.uint32
+            )
+            ch = ch | (eqb << k)
+        chans.append(ch)
+
+    # 3-byte seed = three consecutive byte-equalities at the same distance
+    seeds = [ch & sh(ch, 1) & sh(ch, 2) for ch in chans]
+    best_d = jnp.zeros((N,), jnp.int32)
+    found = jnp.zeros((N,), bool)
+    for c, mc in enumerate(seeds):
+        lsb = mc & (~mc + jnp.uint32(1))
+        k = (31 - jax.lax.clz(lsb)).astype(jnp.int32)  # -1 when mc == 0
+        has_c = mc != 0
+        best_d = jnp.where(~found & has_c, 32 * c + k + 1, best_d)
+        found = found | has_c
+
+    has = found & (idx + 3 <= n) & (best_d <= idx)
+    bd1 = jnp.where(has, best_d - 1, 0)
+    cidx = bd1 >> 5
+    bit = (bd1 & 31).astype(jnp.uint32)
+    alive = has
+    length = jnp.zeros((N,), jnp.int32)
+    for k in range(3, max_match):
+        w = jnp.zeros((N,), jnp.uint32)
+        for c in range(nch):
+            w = jnp.where(cidx == c, sh(chans[c], k), w)
+        bitv = ((w >> bit) & 1) == 1
+        alive = alive & bitv & (idx + k < n)
+        length = length + alive.astype(jnp.int32)
+    length = jnp.where(has, 3 + length, 0)
+    length = jnp.minimum(length, jnp.maximum(n - idx, 0))
+    dist = jnp.where(has, best_d, 0)
+    return dist, length
+
+
 def _greedy_parse_chase(length: jax.Array, n) -> jax.Array:
     """Gather-free greedy parse via the shared select-based chase
     (decode.chase_reach).  Valid when max step <= 48 and N % 64 == 0."""
@@ -556,6 +623,8 @@ def _encode_emissions(
     elif use_sort_matcher:
         # stages 1+2 fused: best-of-many candidates, probe then extend
         dist, length = _match_candidates_multi(b, key3, n, window, max_match)
+    elif window <= 256:
+        dist, length = _match_extend_bitplane(b, n, window, max_match)
     else:
         dist = _match_candidates_window(key3, window)
         # --- stage 2: extension -----------------------------------------
@@ -750,9 +819,13 @@ def _encode_emissions(
     e1_nb = jnp.where(is_match, (dm >> 16) & 0xF, 0)
     e2_val = jnp.where(is_match, d - dbase, 0)
     e2_nb = jnp.where(is_match, dm >> 20, 0)
+    # distance code + distance extra merged: <= 15 + 13 = 28 bits, so the
+    # batched pack sees 2 emissions per position instead of 3
+    e12_val = e1_val | (e2_val << e1_nb)
+    e12_nb = e1_nb + e2_nb
 
-    vals = jnp.stack([e0_val, e1_val, e2_val], axis=1).reshape(-1)
-    nbs = jnp.stack([e0_nb, e1_nb, e2_nb], axis=1).reshape(-1)
+    vals = jnp.stack([e0_val, e12_val], axis=1).reshape(-1)
+    nbs = jnp.stack([e0_nb, e12_nb], axis=1).reshape(-1)
 
     # --- bit offsets: 3-bit header + [dyn header] + tokens + EOB --------
     hdr_val3 = jnp.where(final, jnp.int32(1), jnp.int32(0)) | (btype << 1)
@@ -827,11 +900,16 @@ def encode_block_bits(
     )
     byte_idx = all_offs >> 3
     shift = all_offs & 7
-    v = (all_vals << shift).astype(jnp.int32)  # <= 27 bits, fits int32
+    v = all_vals  # <= 28 bits; v << shift can reach 35, so shifts below
+    # are arranged to stay in int32
     out = jnp.zeros((M,), jnp.int32)
     live = all_nbs > 0
-    for k in range(4):
-        contrib = jnp.where(live, (v >> (8 * k)) & 0xFF, 0)
+    for k in range(5):
+        if k == 0:
+            contrib = ((v & 0xFF) << shift) & 0xFF
+        else:
+            contrib = (v >> (8 * k - shift)) & 0xFF  # 8k - shift >= 1
+        contrib = jnp.where(live, contrib, 0)
         tgt = jnp.clip(byte_idx + k, 0, M - 1)
         out = out.at[tgt].add(contrib)
     out, out_len = _finalize_block(data, n, final, out, total_bits, M)
@@ -919,22 +997,33 @@ def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateCo
     vals, nbs, offs, total_bits, ntok = jax.vmap(f)(data, lengths, finals)
 
     live = nbs > 0
-    v = (vals << (offs & 7)).astype(jnp.int32)  # <= 27 bits
-    # dead entries (nbs==0) KEEP their natural offset — it is nondecreasing
-    # and their contribution is masked to zero, so they are free no-ops
+    # emission values are <= 28 bits (codes + merged distance extras); the
+    # bit-shifted contribution reaches 35 bits, decomposed into THREE
+    # 16-bit channels at bytes j, j+2, j+4 with int32-safe shift algebra.
+    # Fewer, wider channels halve the MXU paint work vs 8-bit bytes.
+    s = offs & 7
     byte_idx = offs >> 3
     K = vals.shape[1]
     Kp = -(-K // SLAB) * SLAB
     pad = Kp - K
     byte_idx = jnp.pad(byte_idx, ((0, 0), (0, pad)), constant_values=M)
+    c0 = ((vals & 0xFFFF) << s) & 0xFFFF
+    c1 = (vals >> (16 - s)) & 0xFFFF
+    c2 = (vals >> 16) >> (16 - s)
     ch = jnp.stack(
-        [jnp.where(live, (v >> (8 * c)) & 0xFF, 0) for c in range(4)], axis=1
-    )  # (B, 4, K)
+        [jnp.where(live, c, 0) for c in (c0, c1, c2)], axis=1
+    )  # (B, 3, K)
     ch = jnp.pad(ch, ((0, 0), (0, 0), (0, pad)))
-    packed = mono_scatter_add(byte_idx, ch, M + 4)  # (B, 4, M+4)
-    out = packed[:, 0, :M]
-    for c in range(1, 4):
-        out = out + jnp.pad(packed[:, c, : M - c], ((0, 0), (c, 0)))
+    packed = mono_scatter_add(byte_idx, ch, M + 8)  # (B, 3, M+8)
+    # bit-disjointness of emissions makes every byte sum carry-free
+    out = (packed[:, 0, :M] & 0xFF) + jnp.pad(
+        (packed[:, 0, : M - 1] >> 8) & 0xFF, ((0, 0), (1, 0))
+    )
+    for c, disp in ((1, 2), (2, 4)):
+        out = out + jnp.pad(packed[:, c, : M - disp] & 0xFF, ((0, 0), (disp, 0)))
+        out = out + jnp.pad(
+            (packed[:, c, : M - disp - 1] >> 8) & 0xFF, ((0, 0), (disp + 1, 0))
+        )
 
     outs, out_lens = jax.vmap(
         functools.partial(_finalize_block, M=M)
