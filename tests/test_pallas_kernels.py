@@ -145,7 +145,7 @@ def test_expand_fused_overlap_runs():
     """dist<len runs (the off1/off2 cases) and cross-tile references."""
     from tpu_deflate.kernels.expand import OTILE, expand_fused
 
-    out_cap = 2 * OTILE
+    out_cap = 4 * OTILE
     toks = [(0, 65, 0), (0, 66, 0), (1, 258, 1), (1, 258, 2), (1, 100, 3)]
     # long dist-1 run crossing the tile boundary (ta holds 9 bits, so the
     # run is a chain of RFC-max 258-byte matches, exactly as tokenize emits)

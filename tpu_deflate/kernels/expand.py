@@ -45,7 +45,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-OTILE = 2048  # output bytes per grid step
+OTILE = 2048  # output bytes per grid step (grid-step overhead dominates
+# below this; OTILE=4096 exceeds the 16MB VMEM budget)
 OROWS = OTILE // 128  # 16
 WROWS = OROWS + 1  # token-window rows (2049 owners + <=127 alignment)
 W = WROWS * 128
@@ -105,11 +106,13 @@ def _flat_cummax(x, carry):
     # (Mosaic cannot concat width-1 vectors along sublanes, so the row
     # scan runs at full 128-lane width.)
     p = jnp.broadcast_to(jnp.max(x, axis=1, keepdims=True), (OROWS, 128))
-    for k in (1, 2, 4, 8):
+    k = 1
+    while k < OROWS:
         sh = jnp.concatenate(
             [jnp.full((k, 128), NEG, jnp.int32), p[: OROWS - k, :]], axis=0
         )
         p = jnp.maximum(p, sh)
+        k *= 2
     excl = jnp.concatenate(
         [jnp.full((1, 128), NEG, jnp.int32), p[: OROWS - 1, :]], axis=0
     )
@@ -135,8 +138,8 @@ def _expand_kernel(
     def _init():
         carry_ref[:, :] = jnp.full((8, 128), NEG, jnp.int32)
         carry_ref[C_PREV, :] = jnp.zeros((128,), jnp.int32)
-        # uninitialized VMEM may hold NaN; 0 * NaN = NaN would poison the
-        # one-hot pull matmuls, so the resolved-bytes scratch must be zeroed
+        # int8 scratch needs no NaN guard, but deterministic contents keep
+        # replays bit-identical
         res_ref[:, :] = jnp.zeros_like(res_ref)
 
     # ---- token window ---------------------------------------------------
@@ -285,16 +288,19 @@ def _expand_kernel(
         if r + 1 < n_rounds:
             par_f = _unflatten(q, esT2, maskc2, OROWS)
 
-    # global pull from resolved scratch (single byte plane: values <= 255)
+    # global pull from resolved scratch.  res holds bytes biased by -128
+    # so they fit SIGNED int8; the s8 x s8 -> s32 MXU path runs at twice
+    # the bf16 rate, and a one-hot row-pick of exact int8 values is exact.
     rows_g = jnp.floor(q * (1.0 / 128.0))
     lanes_g = q - rows_g * 128.0
     res_rows = out_cap // 128
     griota = jax.lax.broadcasted_iota(jnp.int32, (OTILE, res_rows), 1).astype(
         jnp.float32
     )
-    oh_g = (rows_g == griota).astype(jnp.float32)  # (OTILE, res_rows)
+    oh_g8 = (rows_g == griota).astype(jnp.int8)  # (OTILE, res_rows)
+    pulled = jnp.dot(oh_g8, res_ref[:, :], preferred_element_type=jnp.int32)
     vg = jnp.sum(
-        _bdot(oh_g, res_ref[:, :]) * ((lanes_g == liota2).astype(jnp.float32)),
+        jnp.where(lanes_g == liota2, pulled + 128, 0).astype(jnp.float32),
         axis=1,
         keepdims=True,
     )
@@ -305,7 +311,7 @@ def _expand_kernel(
     v = jnp.where(q < jnp.float32(tile_start), vg, vl)  # (OTILE, 1)
 
     vtile = _unflatten(v, esT2, maskc2, OROWS)  # (OROWS, 128) f32
-    res_ref[pl.ds(t * OROWS, OROWS), :] = vtile
+    res_ref[pl.ds(t * OROWS, OROWS), :] = (vtile - 128.0).astype(jnp.int8)
     out_ref[0] = jnp.where(in_range, vtile.astype(jnp.int32), 0)
 
 
@@ -365,7 +371,7 @@ def expand_fused(
             (1, OROWS, 128), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((out_cap // 128, 128), jnp.float32),
+            pltpu.VMEM((out_cap // 128, 128), jnp.int8),
             pltpu.VMEM((8, 128), jnp.int32),
         ],
         interpret=interpret,

@@ -535,6 +535,24 @@ def _candidate_plane_static(data: jax.Array, base: jax.Array, pwin: int, end_bit
     return jax.lax.dynamic_slice(flat, (r0,), (pwin,))
 
 
+def _pack_rows4(m: jax.Array) -> jax.Array:
+    """(64, T) int32 in [0, 256) -> (16, T): 4 row values per int32."""
+    return m[0::4] | (m[1::4] << 8) | (m[2::4] << 16) | (m[3::4] << 24)
+
+
+def _select_rows_packed(P4: jax.Array, idx: jax.Array) -> jax.Array:
+    """table[idx] (table pre-packed 4 rows/int32) via 16 predicated
+    selects + a byte extract; idx values outside [0, 64) keep their own
+    value.  4x fewer select ops than the row-per-row loop — at these
+    shapes op count, not element count, is the cost."""
+    g = idx >> 2
+    acc = jnp.zeros_like(idx)
+    for v in range(16):
+        acc = jnp.where(g == v, P4[v], acc)
+    sub = (acc >> ((idx & 3) << 3)) & 0xFF
+    return jnp.where((idx >= 0) & (idx < 64), sub, idx)
+
+
 def chase_reach(adv: jax.Array, term: jax.Array, P: int) -> jax.Array:
     """Positions reachable from index 0 under next[p] = p + adv[p].
 
@@ -553,7 +571,7 @@ def chase_reach(adv: jax.Array, term: jax.Array, P: int) -> jax.Array:
 
     # within-tile pointer doubling: 6 rounds, all chains exit or stop
     def dbl(_, m):
-        return jnp.where(m < 64, _select_rows(m, m, 64), m)
+        return _select_rows_packed(_pack_rows4(m), m)
 
     m = jax.lax.fori_loop(0, 6, dbl, m0)
     phi = jnp.where(m >= 128, _STOP, m - 64)  # entry->next-tile phase, [0,48)
@@ -565,7 +583,7 @@ def chase_reach(adv: jax.Array, term: jax.Array, P: int) -> jax.Array:
         cur = levels[-1]
         even = cur[:, 0::2]
         odd = cur[:, 1::2]
-        comp = jnp.where(even < 64, _select_rows(odd, even, 64), even)
+        comp = _select_rows_packed(_pack_rows4(jnp.where(odd < 0, 0, odd)), even)
         levels.append(comp)
 
     # entry phase at each top-level segment start: chain the <=64 maps
@@ -578,21 +596,19 @@ def chase_reach(adv: jax.Array, term: jax.Array, P: int) -> jax.Array:
     # descend: entry phase at the start of every tile
     for lvl in range(len(levels) - 2, -1, -1):
         even_maps = levels[lvl][:, 0::2]  # (64, T_k/2... matches ent)
-        ent_odd = ent
-        for v in range(64):
-            ent_odd = jnp.where(ent == v, even_maps[v, :], ent_odd)
-        ent = jnp.stack([ent, ent_odd], axis=1).reshape(-1)
+        ent = jnp.stack(
+            [ent, _select_rows_packed(_pack_rows4(even_maps), ent)], axis=1
+        ).reshape(-1)
     # ent: (T64,) entry phase per tile ([0,48) or _STOP)
 
     # final walk: mark every visited phase (the true symbol boundaries)
+    m0p = _pack_rows4(m0)
+
     def step(_, carry):
         cur, visited = carry
         active = cur < 64
         visited = visited | (active[None, :] & (e == cur[None, :]))
-        nxt = cur
-        for v in range(64):
-            nxt = jnp.where(cur == v, m0[v, :], nxt)
-        return nxt, visited
+        return _select_rows_packed(m0p, cur), visited
 
     _, visited = jax.lax.fori_loop(
         0, 64, step, (ent, jnp.zeros((64, T64), bool))
@@ -954,6 +970,11 @@ def tokenize(
         s = jax.lax.cond(s["mode"] == M_TOKENS, block_pass, lambda s: s, s)
         return s
 
+    # Hoist the first header out of the loop: under vmap every lax.cond
+    # branch executes for the whole batch, so an outer iteration spent in
+    # M_HEADER still pays for a full (plane + chase) block_pass.  With the
+    # hoist, single-block chunk decodes run the loop exactly once.
+    state = jax.lax.cond(outer_cond(state), header_fn, lambda s: s, state)
     s = jax.lax.while_loop(outer_cond, outer_body, state)
     clean_end = (s["mode"] == M_DONE) | (
         (s["err"] == ERR_OK) & (s["pos"] >= end_bit) & (s["mode"] == M_HEADER)
