@@ -169,3 +169,32 @@ def test_expand_fused_overlap_runs():
         out_cap=out_cap, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(out)[0, :total].astype(np.uint8), ref[:total])
+
+
+# ---------------------------------------------------------------------------
+# Monotone compaction kernel (kernels/monotone.py mono_compact)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mono_compact_matches_scatter(seed):
+    from tpu_deflate.kernels.monotone import mono_compact
+
+    rng = np.random.default_rng(seed)
+    K, size = 6144, 4096
+    live = rng.random(K) < 0.3
+    rank = np.cumsum(live) - live
+    idx = np.where(live, rank, size).astype(np.int32)  # dead interleaved
+    vals = np.stack(
+        [
+            np.where(live, rng.integers(0, 1 << 14, K), 0),
+            np.where(live, rng.integers(0, 1 << 14, K), 0),
+        ]
+    ).astype(np.int32)
+    got = np.asarray(
+        mono_compact(jnp.asarray(idx), jnp.asarray(vals), size, interpret=True)
+    )
+    exp = np.zeros((2, size), np.int32)
+    for c in range(2):
+        np.add.at(exp[c], idx[live], vals[c][live])
+    np.testing.assert_array_equal(got, exp)

@@ -877,10 +877,7 @@ def tokenize(
         ta_val = ta_f
         tb_val = jnp.where(is_lit, 0, tb_f)
 
-        # distance validity: output produced before each token
         produced = jnp.where(tmask, jnp.where(is_lit, 1, ta_f), 0)
-        prefix_out = s["out_total"] + jnp.cumsum(produced) - produced
-        too_far = jnp.any(tmask & is_match_c & (tb_f > prefix_out))
         bad_reached = jnp.any(reach & bad)
 
         eob_hit = jnp.any(reach & is_eob)
@@ -891,27 +888,12 @@ def tokenize(
         cont_pos = base + last_rel + adv[jnp.clip(last_rel, 0, pwin - 1)]
 
         new_pos = jnp.where(eob_hit, base + eob_rel + eob_nb, cont_pos)
-        anybad = bad_reached | too_far | ~cap_ok
         after_eob = (
             jnp.int32(M_DONE)
             if stop_at_eob
             else jnp.where(
                 s["bfinal"] == 1, jnp.int32(M_DONE), jnp.int32(M_HEADER)
             )
-        )
-        mode = jnp.where(
-            anybad,
-            jnp.int32(M_ERROR),
-            jnp.where(eob_hit, after_eob, jnp.int32(M_TOKENS)),
-        )
-        err = jnp.where(
-            anybad,
-            jnp.where(
-                too_far,
-                jnp.int32(ERR_DIST),
-                jnp.where(~cap_ok, jnp.int32(ERR_OVERFLOW), jnp.int32(ERR_BAD_CODE)),
-            ),
-            s["err"],
         )
         # ONE compaction per pass: token fields packed into a single int32
         # (kind 2b | len-or-byte 9b | dist 17b).  Slots are NONDECREASING
@@ -939,11 +921,49 @@ def tokenize(
             new_tk = s["tk"] + comp[0] + (comp[1] << 14)
         else:
             new_tk = s["tk"].at[slot].set(packed_tok)
+
+        # distance validity: each match must reach only already-produced
+        # output.  Checked over the COMPACTED token slots (tok_cap-sized
+        # prefix, ~4x cheaper than a plane-sized one).
+        new_tp = tp + jnp.where(cap_ok, ntok, 0)
+        tslots = jnp.arange(tok_cap, dtype=jnp.int32)
+        live2 = tslots < new_tp
+        is_stored_slot = new_tk == TK_STORED
+        kindp = (new_tk >> 26) & 3
+        lenp = jnp.where(
+            is_stored_slot,
+            s["ta"],
+            jnp.where(kindp == TK_LIT, 1, (new_tk >> 17) & 0x1FF),
+        )
+        lenp = jnp.where(live2, lenp, 0)
+        offp = jnp.cumsum(lenp) - lenp
+        too_far = jnp.any(
+            live2
+            & (kindp == TK_MATCH)
+            & ~is_stored_slot
+            & ((new_tk & 0x1FFFF) > offp)
+        )
+
+        anybad = bad_reached | too_far | ~cap_ok
+        mode = jnp.where(
+            anybad,
+            jnp.int32(M_ERROR),
+            jnp.where(eob_hit, after_eob, jnp.int32(M_TOKENS)),
+        )
+        err = jnp.where(
+            anybad,
+            jnp.where(
+                too_far,
+                jnp.int32(ERR_DIST),
+                jnp.where(~cap_ok, jnp.int32(ERR_OVERFLOW), jnp.int32(ERR_BAD_CODE)),
+            ),
+            s["err"],
+        )
         return dict(
             s,
             pos=new_pos,
             tk=new_tk,
-            tp=tp + jnp.where(cap_ok, ntok, 0),
+            tp=new_tp,
             out_total=s["out_total"] + jnp.where(cap_ok, jnp.sum(produced), 0),
             mode=mode,
             err=err,
