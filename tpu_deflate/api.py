@@ -121,6 +121,32 @@ def compress_indexed(data: bytes, config: DeflateConfig = DeflateConfig()):
     return stream, np.asarray(out_lens, dtype=np.int64)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _chunk_decoder(chunk: int, tok_cap: int, static_only: bool):
+    """Cached jitted chunk-parallel decoder.  A per-call closure would be
+    a fresh jit cache key and recompile on EVERY call (measured: tens of
+    seconds per decompress_indexed invocation)."""
+    import jax
+
+    from tpu_deflate.ops.decode import chunk_pwin, expand_batch, tokenize
+
+    @jax.jit
+    def dec(dbuf, ss, ee):
+        tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
+            lambda s, e: tokenize(
+                dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=chunk_pwin(chunk),
+                stop_at_eob=True, static_only=static_only,
+            )
+        )(ss, ee)
+        o, total = expand_batch(dbuf, tk, ta, tb, tp, out_cap=chunk)
+        return o, total, err
+
+    return dec
+
+
 def decompress_indexed(
     stream: bytes,
     index: np.ndarray,
@@ -154,30 +180,20 @@ def decompress_indexed(
 
     chunk = config.chunk_size
     tok_cap = chunk + 16
-    from tpu_deflate.ops.decode import ERR_DYNAMIC, chunk_pwin
-
-    def dec(ss, ee, static_only):
-        tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
-            lambda s, e: tokenize(
-                dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=chunk_pwin(chunk),
-                stop_at_eob=True, static_only=static_only,
-            )
-        )(ss, ee)
-        o, total = expand_batch(dbuf, tk, ta, tb, tp, out_cap=chunk)
-        return o, total, err
+    from tpu_deflate.ops.decode import ERR_DYNAMIC
 
     # arithmetic static decode first (our container is static/stored
     # unless dynamic_encode); fall back on ERR_DYNAMIC lanes
     ss = jnp.asarray(starts, jnp.int32)
     ee = jnp.asarray(ends, jnp.int32)
     static_first = not config.dynamic_encode
-    outs, totals, errs = jax.jit(dec, static_argnames=("static_only",))(
-        ss, ee, static_only=static_first
+    outs, totals, errs = _chunk_decoder(chunk, tok_cap, static_first)(
+        dbuf, ss, ee
     )
     errs = np.asarray(errs)[:nchunks]
     if static_first and (errs == ERR_DYNAMIC).any():
-        outs, totals, errs = jax.jit(dec, static_argnames=("static_only",))(
-            ss, ee, static_only=False
+        outs, totals, errs = _chunk_decoder(chunk, tok_cap, False)(
+            dbuf, ss, ee
         )
         errs = np.asarray(errs)[:nchunks]
     if (errs != 0).any():
@@ -377,19 +393,9 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
         starts[i] = 8 * s
         ends[i] = 8 * e
     tok_cap = chunk + 16
-    from tpu_deflate.ops.decode import ERR_DYNAMIC, chunk_pwin
 
-    def dec(ss, ee, static_only=False):
-        tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
-            lambda s, e: tokenize(
-                dbuf, s, tok_cap=tok_cap, end_bit=e, pwin=chunk_pwin(chunk),
-                stop_at_eob=True, static_only=static_only,
-            )
-        )(ss, ee)
-        o, total = expand_batch(dbuf, tk, ta, tb, tp, out_cap=chunk)
-        return o, total, err
-
-    outs, totals, errs = jax.jit(dec)(
+    outs, totals, errs = _chunk_decoder(chunk, tok_cap, False)(
+        dbuf,
         jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32)
     )
     errs = np.asarray(errs)[:nm]

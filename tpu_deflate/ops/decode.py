@@ -625,7 +625,10 @@ def _chase(plane: jax.Array, pwin: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tok_cap", "pwin", "stop_at_eob", "static_only")
+    jax.jit,
+    static_argnames=(
+        "tok_cap", "pwin", "stop_at_eob", "static_only", "vector_cllen"
+    ),
 )
 def tokenize(
     data: jax.Array,
@@ -635,6 +638,7 @@ def tokenize(
     pwin: int = 1 << 18,
     stop_at_eob: bool = False,
     static_only: bool = False,
+    vector_cllen: bool = True,
 ):
     """Stage 1: bitstream -> token arrays.
 
@@ -650,8 +654,9 @@ def tokenize(
     Returns (tk, ta, tb, tp, out_total, end_pos, err).
     """
     M = data.shape[0]
-    # pad so window slicing near the stream end never clamps
-    data_ext = jnp.pad(data, (0, pwin // 8 + 16))
+    # pad so window slicing near the stream end never clamps (the plane
+    # window AND the 8192-bit dynamic-header window both slice ahead)
+    data_ext = jnp.pad(data, (0, max(pwin // 8, 1024) + 16))
     d32 = data_ext.astype(jnp.uint32)
     nbits_total = 8 * M
     if end_bit is None:
@@ -689,7 +694,9 @@ def tokenize(
         dist_lim=jnp.asarray(_S_DIST_LIM),
         dist_rd=jnp.asarray(_S_DIST_RD),
         dist_meta=jnp.asarray(_S_DIST_META),
-        cl_tab=jnp.zeros((1 << CL_BITS,), jnp.int32),
+        cl_lim=jnp.zeros((16,), jnp.int32),
+        cl_rd=jnp.zeros((16,), jnp.int32),
+        cl_meta=jnp.zeros((19,), jnp.int32),
         lengths=jnp.zeros((MAX_SYMS,), jnp.int32),
         )
 
@@ -754,8 +761,8 @@ def tokenize(
             raw = peek(p + 3 * j, 3)
             raw = jnp.where(j < hclen, raw, 0)
             cl_lengths = jnp.zeros((19,), jnp.int32).at[cl_order].set(raw)
-            cl_tab_small = build_table_jax(
-                jnp.pad(cl_lengths, (0, MAX_SYMS - 19)), CL_BITS
+            clim, crd, cmeta, cover = _canon_params_jax(
+                cl_lengths, 19, lambda sym, xp=np: sym
             )
             return dict(
                 s,
@@ -764,9 +771,12 @@ def tokenize(
                 hlit=hlit,
                 hdist=hdist,
                 cl_idx=jnp.int32(0),
-                cl_tab=cl_tab_small,
+                cl_lim=clim,
+                cl_rd=crd,
+                cl_meta=cmeta,
                 lengths=jnp.zeros((MAX_SYMS,), jnp.int32),
-                mode=jnp.int32(M_CLLEN),
+                mode=jnp.where(cover, jnp.int32(M_ERROR), jnp.int32(M_CLLEN)),
+                err=jnp.where(cover, jnp.int32(ERR_BAD_CODE), s["err"]),
             )
 
         def bad(s):
@@ -774,30 +784,143 @@ def tokenize(
 
         return jax.lax.switch(jnp.clip(btype, 0, 3), [stored, static, dynamic, bad], s)
 
-    # -------- code-length symbol decode (dynamic header, <=316 iters) ----
-    def cllen_fn(s):
+    # -------- code-length symbol decode (dynamic header) -----------------
+    # Vectorized mini boundary-chase over the header region: the reference
+    # (READBL/REPEAT, deflate.py:1125-1146) and our earlier version walk
+    # one CL symbol per step (<=316 sequential iterations, the dominant
+    # cost of foreign-stream decode); instead decode a CL-symbol candidate
+    # at every bit position of an 8192-bit window, chase the boundaries,
+    # and assemble the lengths with prefix sums and forward fills.
+    CL_WIN = 8192
+
+    def cllen_vec(s):
+        pos0 = s["pos"]
+        target = s["hlit"] + s["hdist"]
+        U = CL_WIN // 8 + 1
+        byte0 = pos0 >> 3
+        r0 = pos0 & 7
+        bb = jax.lax.dynamic_slice(data_ext, (byte0,), (U + 8,)).astype(jnp.uint32)
+        lo = bb[0:U] | (bb[1:U + 1] << 8) | (bb[2:U + 2] << 16) | (bb[3:U + 3] << 24)
+        hi = bb[4:U + 4] | (bb[5:U + 5] << 8) | (bb[6:U + 6] << 16) | (bb[7:U + 7] << 24)
+        lo = lo[None, :]
+        hi = hi[None, :]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+        def getw(shift, nbits):
+            sft = (rr + shift).astype(jnp.uint32)
+            s2 = sft & 31
+            a = (lo >> s2) | ((hi << (31 - s2)) << 1)
+            v = jnp.where(sft < 32, a, hi >> s2).astype(jnp.uint32)
+            return (v & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
+
+        def flat(x):
+            return jax.lax.dynamic_slice(x.T.reshape(-1), (r0,), (CL_WIN,))
+
+        v15g = _revbits15_vec(getw(0, 15)) >> 1
+        cnt = jnp.zeros((8, U), jnp.int32)
+        for L in range(1, 16):
+            cnt = cnt + (v15g < s["cl_lim"][L])
+        nb = 16 - cnt
+        nbc = jnp.clip(nb, 1, 15)
+        rank = (v15g >> (15 - nbc)) + _select16(s["cl_rd"], nbc)
+        sym = _select_small(
+            s["cl_meta"], jnp.clip(rank, 0, 18), 19
+        )
+        bad_sym = (nb > 7) | (rank < 0) | (rank > 18) | (sym < 0)
+        x7 = getw(nbc, 7)
+        is16 = sym == 16
+        is17 = sym == 17
+        is18 = sym == 18
+        ebits = jnp.where(is16, 2, jnp.where(is17, 3, jnp.where(is18, 7, 0)))
+        count = jnp.where(
+            sym < 16,
+            1,
+            jnp.where(
+                is16,
+                3 + (x7 & 3),
+                jnp.where(is17, 3 + (x7 & 7), 11 + x7),
+            ),
+        )
+        adv8 = jnp.where(bad_sym, 1, nbc + ebits)
+
+        sym_f = flat(jnp.where(bad_sym, -1, sym))
+        count_f = flat(count)
+        adv_f = flat(adv8)
+        term_f = sym_f < 0
+        reached = chase_reach(adv_f, term_f, CL_WIN)
+
+        pidx = jnp.arange(CL_WIN, dtype=jnp.int32)
+        opc = jnp.where(reached & ~term_f, count_f, 0)
+        cum = jnp.cumsum(opc)
+        cum_ex = cum - opc
+        live_op = reached & ~term_f & (cum_ex < target)
+        total = jnp.max(jnp.where(live_op, cum, 0))
+        end_next = jnp.max(jnp.where(live_op & (cum == target), pidx + adv_f, -1))
+
+        # sym 16 copies the PREVIOUS emitted code length: forward-fill of
+        # (assignments and zero-runs), exclusive at the reading position
+        setk = jnp.where(
+            live_op & (sym_f < 16),
+            (pidx << 9) | (sym_f + 1),
+            jnp.where(live_op & (sym_f >= 17), (pidx << 9) | 1, -1),
+        )
+        fill = jax.lax.cummax(setk)
+        assign16 = (fill & 0x1FF) - 1
+        bad16 = jnp.any(live_op & (sym_f == 16) & (fill < 0))
+        assign = jnp.where(
+            sym_f < 16, sym_f, jnp.where(sym_f == 16, assign16, 0)
+        )
+
+        # paint interval starts into the lengths array, forward-fill
+        pk = jnp.where(live_op, (cum_ex << 9) | (assign + 1), -1)
+        tgt_idx = jnp.where(live_op, cum_ex, jnp.int32(MAX_SYMS))
+        arr = jnp.full((MAX_SYMS,), -1, jnp.int32).at[tgt_idx].max(
+            pk, mode="drop"
+        )
+        farr = jax.lax.cummax(arr)
+        sidx = jnp.arange(MAX_SYMS, dtype=jnp.int32)
+        lengths = jnp.where(
+            (sidx < target) & (farr >= 0), (farr & 0x1FF) - 1, 0
+        )
+
+        ok = (total == target) & ~bad16 & (end_next >= 0)
+        return dict(
+            s,
+            pos=pos0 + end_next,
+            cl_idx=target,
+            lengths=lengths,
+            err=jnp.where(ok, s["err"], jnp.int32(ERR_BAD_CODE)),
+            mode=jnp.where(ok, jnp.int32(M_TABLES), jnp.int32(M_ERROR)),
+        )
+
+    # sequential variant (one CL symbol per step): for SINGLE-stream
+    # decode the mini-chase's fixed ~1.3k-op dispatch cost per header is
+    # slower than this loop; batched (vmapped) lanes amortize the chase.
+    def cllen_step(s):
         pos = s["pos"]
-        leaf = s["cl_tab"][peek(pos, CL_BITS)]
-        nb = leaf & 0xF
-        sym = leaf >> 4
-        bad = nb == 0
-        pos = pos + nb
+        v15 = _revbits15_vec(peek(pos, 15)) >> 1
+        cnt = jnp.int32(0)
+        for L in range(1, 16):
+            cnt = cnt + (v15 < s["cl_lim"][L]).astype(jnp.int32)
+        nb = 16 - cnt
+        nbc = jnp.clip(nb, 1, 15)
+        rank = (v15 >> (15 - nbc)) + s["cl_rd"][nbc]
+        sym = s["cl_meta"][jnp.clip(rank, 0, 18)]
+        bad = (nb > 7) | (rank < 0) | (rank > 18) | (sym < 0)
+        pos = pos + nbc
         ci = s["cl_idx"]
         lengths = s["lengths"]
         prev = lengths[jnp.clip(ci - 1, 0, MAX_SYMS - 1)]
-
-        # sym < 16: one length; 16: repeat prev 3+2bits; 17: 3+3bits zeros;
-        # 18: 11+7bits zeros  (reference READBL/REPEAT, deflate.py:1125-1146)
-        rep16 = 3 + peek(pos, 2)
-        rep17 = 3 + peek(pos, 3)
-        rep18 = 11 + peek(pos, 7)
+        x7 = peek(pos, 7)
         is16 = sym == 16
         is17 = sym == 17
         is18 = sym == 18
         islit = sym < 16
         adv = jnp.where(is16, 2, jnp.where(is17, 3, jnp.where(is18, 7, 0)))
         count = jnp.where(
-            islit, 1, jnp.where(is16, rep16, jnp.where(is17, rep17, rep18))
+            islit,
+            1,
+            jnp.where(is16, 3 + (x7 & 3), jnp.where(is17, 3 + (x7 & 7), 11 + x7)),
         )
         value = jnp.where(islit, sym, jnp.where(is16, prev, 0))
         sidx = jnp.arange(MAX_SYMS, dtype=jnp.int32)
@@ -805,7 +928,6 @@ def tokenize(
         lengths = jnp.where(write, value, lengths)
         ci = ci + count
         done = ci >= s["hlit"] + s["hdist"]
-
         return dict(
             s,
             pos=pos + adv,
@@ -903,8 +1025,12 @@ def tokenize(
         packed_tok = (tk_val << 26) | (ta_val << 17) | (tb_val & 0x1FFFF)
         import os as _os
 
-        if jax.devices()[0].platform == "tpu" and not _os.environ.get(
-            "TPU_DEFLATE_NO_MONO_COMPACT"
+        # the compaction kernel keeps its (2, tok_cap) output resident in
+        # VMEM; big single-stream token buffers must take the XLA scatter
+        if (
+            jax.devices()[0].platform == "tpu"
+            and tok_cap <= (1 << 20)
+            and not _os.environ.get("TPU_DEFLATE_NO_MONO_COMPACT")
         ):
             from tpu_deflate.kernels.monotone import mono_compact
 
@@ -983,9 +1109,14 @@ def tokenize(
     def outer_body(s):
         s = jax.lax.cond(s["mode"] == M_HEADER, header_fn, lambda s: s, s)
         if not static_only:
-            s = jax.lax.while_loop(
-                lambda s: (s["mode"] == M_CLLEN) & in_bounds(s), cllen_fn, s
-            )
+            if vector_cllen:
+                s = jax.lax.cond(s["mode"] == M_CLLEN, cllen_vec, lambda s: s, s)
+            else:
+                s = jax.lax.while_loop(
+                    lambda s: (s["mode"] == M_CLLEN) & in_bounds(s),
+                    cllen_step,
+                    s,
+                )
             s = jax.lax.cond(s["mode"] == M_TABLES, tables_fn, lambda s: s, s)
         s = jax.lax.cond(s["mode"] == M_TOKENS, block_pass, lambda s: s, s)
         return s
@@ -1223,7 +1354,7 @@ def inflate_device(
     while True:
         tok_cap = cap + 16
         tk, ta, tb, tp, out_total, pos, err = tokenize(
-            arr, start_bit, tok_cap=tok_cap, pwin=pwin
+            arr, start_bit, tok_cap=tok_cap, pwin=pwin, vector_cllen=False
         )
         err = int(err)
         if err == ERR_OVERFLOW or (err == ERR_OK and int(out_total) > cap):
