@@ -18,7 +18,9 @@ import jax.numpy as jnp
 from tpu_deflate.config import DeflateConfig
 from tpu_deflate.ops.checksum import adler32_state
 from tpu_deflate.ops.encode import encode_blocks_batch, max_output_bytes
-from tpu_deflate.spec.checksum import ADLER_MOD, adler32_combine, crc32
+from zlib import crc32  # C impl: this host's CPU is pathologically slow
+
+from tpu_deflate.spec.checksum import ADLER_MOD, adler32_combine
 
 
 def _chunk(data: bytes, chunk_size: int):
@@ -204,9 +206,9 @@ def decompress_indexed(
         outs_h[i, : totals_h[i]].tobytes() for i in range(nchunks)
     )
     expect = int.from_bytes(stream[-4:], "big")
-    from tpu_deflate.spec.checksum import adler32
+    import zlib as _z
 
-    if adler32(result) != expect:
+    if _z.adler32(result) != expect:  # C adler: this host's CPU is slow
         raise ValueError("Adler-32 mismatch")
     return result
 
@@ -252,7 +254,7 @@ class StreamCompressor:
         arr = np.frombuffer(take, np.uint8).reshape(nfull, C)
         lens = np.full(nfull, C, np.int32)
         finals = np.zeros(nfull, bool)
-        from tpu_deflate.spec.checksum import adler32 as _ad
+        from zlib import adler32 as _ad  # C impl: host CPU is very slow
 
         self._adler = _ad(take, self._adler)
         body = self._encode_chunks(arr, lens, finals)
@@ -270,7 +272,7 @@ class StreamCompressor:
         self._pending.clear()
         arr = np.zeros((1, C), np.uint8)
         arr[0, : len(tail)] = np.frombuffer(tail, np.uint8)
-        from tpu_deflate.spec.checksum import adler32 as _ad
+        from zlib import adler32 as _ad  # C impl: host CPU is very slow
 
         self._adler = _ad(tail, self._adler)
         body = self._encode_chunks(
@@ -369,7 +371,7 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
     import jax
 
     from tpu_deflate.ops.decode import expand_batch, tokenize
-    from tpu_deflate.spec.checksum import crc32 as _crc
+    from zlib import crc32 as _crc  # C impl: host CPU is very slow
 
     members = _scan_gzip_members(data)
     if members is None:

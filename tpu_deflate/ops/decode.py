@@ -249,54 +249,6 @@ def _peek_bits(data_u32: jax.Array, pos: jax.Array, nbits) -> jax.Array:
     return (v & mask).astype(jnp.int32)
 
 
-def build_table_jax(lengths: jax.Array, table_bits: int) -> jax.Array:
-    """Vectorized canonical-Huffman instant-lookup table build (small
-    tables only — used for the 7-bit code-length tree of dynamic headers).
-
-    lengths: int32[S] code lengths (0 = absent).  Returns
-    int32[2**table_bits] of packed leaves (sym << 4 | nbits), 0 = invalid.
-    """
-    S = lengths.shape[0]
-    sym_idx = jnp.arange(S, dtype=jnp.int32)
-    valid = lengths > 0
-    order = jnp.argsort(jnp.where(valid, lengths, 99) * S + sym_idx)
-    len_sorted = lengths[order]
-    valid_sorted = len_sorted > 0
-
-    ones = valid.astype(jnp.int32)
-    bl_count = jnp.zeros((17,), jnp.int32).at[jnp.clip(lengths, 0, 16)].add(ones)
-
-    def nc_step(carry, blc):
-        code = (carry + blc) << 1
-        return code, code
-
-    _, nc = jax.lax.scan(nc_step, jnp.int32(0), bl_count[:16])
-    next_code = jnp.concatenate([jnp.zeros((1,), jnp.int32), nc])  # [17]
-
-    cum_before = jnp.cumsum(bl_count) - bl_count
-    pos_sorted = jnp.arange(S, dtype=jnp.int32)
-    rank = pos_sorted - cum_before[jnp.clip(len_sorted, 0, 16)]
-    code_sorted = next_code[jnp.clip(len_sorted, 0, 16)] + rank
-
-    start_sorted = jnp.where(
-        valid_sorted,
-        code_sorted << (table_bits - len_sorted),
-        jnp.int32(1 << table_bits),
-    )
-
-    t = jnp.arange(1 << table_bits, dtype=jnp.int32)
-    m = _revbits15_vec(t) >> (16 - table_bits)
-    k = jnp.clip(jnp.searchsorted(start_sorted, m, side="right") - 1, 0, S - 1)
-    nb = len_sorted[k]
-    covered = (
-        (nb > 0)
-        & (nb <= table_bits)
-        & (m - start_sorted[k] < (1 << jnp.clip(table_bits - nb, 0, table_bits)))
-    )
-    leaf = (order[k] << 4) | nb
-    return jnp.where(covered, leaf, 0)
-
-
 # ---------------------------------------------------------------------------
 # Gather-free candidate plane + boundary chase
 # ---------------------------------------------------------------------------
