@@ -125,7 +125,8 @@ def _expand_kernel(
     tok_lo_ref, tp_ref, tot_ref,  # SMEM: (B,T), (B,), (B,)
     off_ref, c1_ref, tb_ref,  # VMEM token fields (1, KR, 128)
     out_ref,  # (1, OROWS, 128) int32 output tile
-    res_ref, carry_ref,  # scratch: (out_rows, 128) f32, (8, 128) int32
+    res_ref, carry_ref, qscr_ref,  # scratch: resolved bytes (int8),
+    # cross-tile carries (int32), skipped-doubling pointer plane (f32)
     *, T: int, KR: int, out_cap: int,
 ):
     b = pl.program_id(0)
@@ -276,17 +277,34 @@ def _expand_kernel(
         return gh * 256.0 + gl
 
     # pointer doubling: q <- Q[q] with Q the CURRENT pointer plane, so the
-    # plane must be refreshed (unflattened from q) every round
+    # plane must be refreshed (unflattened from q) every round.  Tiles with
+    # NO in-tile non-root parent (all-literal tiles, and long runs whose
+    # collapsed parents point before the tile) skip the whole phase: the
+    # initial pointers are already final there.
     par_f = parent.astype(jnp.float32)
-    n_rounds = int(np.ceil(np.log2(OTILE)))
-    for r in range(n_rounds):
-        ph = jnp.floor(par_f * (1.0 / 256.0))
-        plo = par_f - ph * 256.0
-        in_tile = q >= jnp.float32(tile_start)
-        q2 = local_pick(q, ph, plo)
-        q = jnp.where(in_tile, q2, q)
-        if r + 1 < n_rounds:
-            par_f = _unflatten(q, esT2, maskc2, OROWS)
+    p_self = (
+        tile_start
+        + jax.lax.broadcasted_iota(jnp.int32, (OROWS, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (OROWS, 128), 1)
+    )
+    has_local = jnp.any((parent >= tile_start) & (parent != p_self))
+    qscr_ref[:, :] = par_f
+
+    @pl.when(has_local)
+    def _double():
+        qq = q
+        pf = par_f
+        n_rounds = int(np.ceil(np.log2(OTILE)))
+        for r in range(n_rounds):
+            ph = jnp.floor(pf * (1.0 / 256.0))
+            plo = pf - ph * 256.0
+            in_tile = qq >= jnp.float32(tile_start)
+            qq2 = local_pick(qq, ph, plo)
+            qq = jnp.where(in_tile, qq2, qq)
+            pf = _unflatten(qq, esT2, maskc2, OROWS)
+        qscr_ref[:, :] = pf
+
+    q = _flatten_cols(qscr_ref[:, :], es2, maskc2)
 
     # global pull from resolved scratch.  res holds bytes biased by -128
     # so they fit SIGNED int8; the s8 x s8 -> s32 MXU path runs at twice
@@ -373,6 +391,7 @@ def expand_fused(
         scratch_shapes=[
             pltpu.VMEM((out_cap // 128, 128), jnp.int8),
             pltpu.VMEM((8, 128), jnp.int32),
+            pltpu.VMEM((OTILE // 128, 128), jnp.float32),
         ],
         interpret=interpret,
     )(tok_lo, tp.astype(jnp.int32), total.astype(jnp.int32), tok3(off), tok3(c1), tok3(tb))
