@@ -42,3 +42,32 @@ def test_cli_roundtrip(tmp_path):
     dec = tmp_path / "d.bin"
     assert main(["-d", str(out), "-o", str(dec)]) == 0
     assert dec.read_bytes() == data
+
+
+class TestLargeChunkConfig:
+    """BASELINE config 5 shape: 1MB-block data-parallel encode+decode
+    (small corpus on CPU; the big-cap XLA expand path)."""
+
+    def test_1mb_chunks_roundtrip(self):
+        import zlib
+
+        from tpu_deflate import api
+        from tpu_deflate.config import DeflateConfig
+
+        cfg = DeflateConfig(window=256, max_match=10, chunk_size=1 << 20)
+        data = (b"block parallel %d " * 999) % tuple(range(999))
+        stream, index = api.compress_indexed(data, cfg)
+        assert zlib.decompress(stream) == data
+        assert api.decompress_indexed(stream, index, cfg) == data
+
+    def test_chunk_larger_than_input(self):
+        import zlib
+
+        from tpu_deflate import api
+        from tpu_deflate.config import DeflateConfig
+
+        cfg = DeflateConfig(chunk_size=1 << 16)
+        data = b"tiny"
+        comp = api.compress(data, cfg)
+        assert zlib.decompress(comp) == data
+        assert api.decompress(comp) == data
