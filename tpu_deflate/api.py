@@ -39,6 +39,9 @@ def _chunk(data: bytes, chunk_size: int):
     return padded, lengths
 
 
+_adler_states = jax.jit(jax.vmap(adler32_state))
+
+
 def deflate_device(data: bytes, config: DeflateConfig = DeflateConfig()):
     """Encode on device; returns (chunks uint8[B, M], out_lens[B], adler).
 
@@ -58,7 +61,7 @@ def deflate_device(data: bytes, config: DeflateConfig = DeflateConfig()):
     )
     # per-chunk adler folded on host (cheap: B states); padded chunks have
     # length 0 and contribute the identity state (1, 0)
-    a, b = jax.vmap(adler32_state)(jnp.asarray(arr), jnp.asarray(lengths))
+    a, b = _adler_states(jnp.asarray(arr), jnp.asarray(lengths))
     a = np.asarray(a)
     b = np.asarray(b)
     out = np.asarray(out)[:nchunks]
@@ -395,12 +398,16 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
         starts[i] = 8 * s
         ends[i] = 8 * e
     tok_cap = chunk + 16
+    from tpu_deflate.ops.decode import ERR_DYNAMIC
 
-    outs, totals, errs = _chunk_decoder(chunk, tok_cap, False)(
-        dbuf,
-        jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32)
-    )
+    ss = jnp.asarray(starts, jnp.int32)
+    ee = jnp.asarray(ends, jnp.int32)
+    static_first = not config.dynamic_encode
+    outs, totals, errs = _chunk_decoder(chunk, tok_cap, static_first)(dbuf, ss, ee)
     errs = np.asarray(errs)[:nm]
+    if static_first and (errs == ERR_DYNAMIC).any():
+        outs, totals, errs = _chunk_decoder(chunk, tok_cap, False)(dbuf, ss, ee)
+        errs = np.asarray(errs)[:nm]
     if (errs != 0).any():
         raise ValueError(f"inflate error codes {errs[errs != 0][:8]}")
     outs_h = np.asarray(outs)[:nm]
