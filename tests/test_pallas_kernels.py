@@ -198,3 +198,31 @@ def test_mono_compact_matches_scatter(seed):
     for c in range(2):
         np.add.at(exp[c], idx[live], vals[c][live])
     np.testing.assert_array_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# Batched bitplane matcher kernel (kernels/match2.py, interpret mode)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", [0, 1, 3, 6])
+@pytest.mark.parametrize("window,maxm", [(32, 10), (256, 10), (256, 5)])
+def test_match2_kernel_equals_xla_bitplane(mode, window, maxm):
+    from tpu_deflate.kernels.match2 import match_bitplane_batch
+    from tpu_deflate.ops.encode import _match_extend_bitplane
+
+    N = 4096
+    raw = np.frombuffer(corpus(mode, 3500), np.uint8)
+    data = np.zeros((2, N), np.uint8)
+    data[0, : len(raw)] = raw
+    data[1, : len(raw)] = raw[::-1]
+    ns = jnp.asarray([len(raw), len(raw) - 7], jnp.int32)
+    d1, l1 = match_bitplane_batch(
+        jnp.asarray(data), ns, window, maxm, interpret=True
+    )
+    for lane in range(2):
+        d0, l0 = _match_extend_bitplane(
+            jnp.asarray(data[lane]).astype(jnp.int32), ns[lane], window, maxm
+        )
+        np.testing.assert_array_equal(np.asarray(d1)[lane], np.asarray(d0))
+        np.testing.assert_array_equal(np.asarray(l1)[lane], np.asarray(l0))

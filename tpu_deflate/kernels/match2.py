@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: distance-bitplane LZ77 matcher (stages 1+2 fused).
+
+In-kernel version of ops/encode._match_extend_bitplane — the
+reinterpretation of the reference's FAST matcher (32 combinational
+3-byte comparators + priority encoder + SEARCHF/SEARCH10 extension,
+/root/reference/deflate.py:407-421,899-994).  The XLA formulation costs
+~4 dispatched ops per distance (~20-40us each at these batch shapes, so
+the 256-distance sweep is dispatch-bound); here the sweep is a
+``fori_loop`` whose shifted compare is a dynamic-amount ``pltpu.roll``,
+so the whole sweep is ONE kernel launch and the per-distance work is a
+handful of vector instructions over VMEM-resident rows.
+
+Layout: the block is split into 128 contiguous segments (one per sublane
+row), each prefixed with the previous segment's last ``window`` bytes and
+suffixed with the next segment's first ``max_match`` bytes (the haloed
+lane-major layout of kernels/match.py) — every distance shift becomes an
+in-row rotate, every extension step a static in-row slice.
+
+Per 32-distance channel, byte-equality planes pack into one uint32
+bitplane; then, exactly as the XLA version:
+  * 3-byte seeds = plane & shift1(plane) & shift2(plane)
+  * nearest distance = least-set-bit, channels ascending
+  * extension walks the chosen distance's bit with a variable shift
+Outputs are element-equal to _match_extend_bitplane (the caller applies
+the same n/idx masks and the final n-clip).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _match2_kernel(n_ref, ext_ref, dl_ref, ch_ref, *, window: int,
+                   max_match: int, seg: int):
+    b = pl.program_id(0)
+    n = n_ref[b]
+    halo = window
+    rhalo = max_match
+    # channel span, lane-aligned (seeds need +2, ladder up to +max_match-1)
+    E = -(-(seg + rhalo) // 128) * 128
+    L = -(-(halo + E) // 128) * 128  # dynamic_rotate wants 128-aligned rows
+    ext = ext_ref[0]  # (LANES, L) int32 byte values (-1 pads)
+    key = ext[:, halo : halo + E]
+
+    # bitplane channels live in an explicit scratch so the compiler's
+    # stack allocator doesn't keep every channel live as an SSA value
+    nch = (window + 31) // 32
+    for c in range(nch):
+        lo_d = 32 * c + 1
+        hi_d = min(32 * c + 32, window)
+
+        def body(t, ch):
+            d = lo_d + t
+            # roll right by d: rolled[:, i] = ext[:, i - d]; the slice stays
+            # wrap-free because i - d >= halo - d >= 0 on [halo, halo + E)
+            rolled = pltpu.roll(ext, d, 1)[:, halo : halo + E]
+            eqb = (key == rolled).astype(jnp.uint32)
+            return ch | (eqb << ((d - 1) & 31))
+
+        ch_ref[pl.ds(c * LANES, LANES), :] = jax.lax.fori_loop(
+            0, hi_d - lo_d + 1, body, jnp.zeros((LANES, E), jnp.uint32)
+        )
+
+    # 3-byte seeds; nearest distance = least set bit, channels ascending
+    best_d = jnp.zeros((LANES, seg), jnp.int32)
+    found = jnp.zeros((LANES, seg), bool)
+    for c in range(nch):
+        chc = ch_ref[pl.ds(c * LANES, LANES), :]
+        mc = chc[:, :seg] & chc[:, 1 : seg + 1] & chc[:, 2 : seg + 2]
+        lsb = mc & (~mc + jnp.uint32(1))
+        k = (31 - jax.lax.clz(lsb)).astype(jnp.int32)
+        has = mc != 0
+        best_d = jnp.where(~found & has, 32 * c + k + 1, best_d)
+        found = found | has
+
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, seg), 0) * seg
+        + jax.lax.broadcasted_iota(jnp.int32, (LANES, seg), 1)
+    )
+    has = found & (pos + 3 <= n) & (best_d <= pos)
+    bd1 = jnp.where(has, best_d - 1, 0)
+    cidx = bd1 >> 5
+    bit = (bd1 & 31).astype(jnp.uint32)
+    # extension ladder, channel-major: every position's whole ladder lives
+    # in ONE channel, so per channel the chain of slice-AND steps is
+    # ephemeral (keeping per-k accumulator planes across channels blew the
+    # Mosaic stack budget)
+    length = jnp.zeros((LANES, seg), jnp.int32)
+    for c in range(nch):
+        chc = ch_ref[pl.ds(c * LANES, LANES), :]
+        alive_c = has & (cidx == c)
+        len_c = jnp.zeros((LANES, seg), jnp.int32)
+        for k in range(3, max_match):
+            alive_c = alive_c & (((chc[:, k : seg + k] >> bit) & 1) == 1)
+            len_c = len_c + alive_c.astype(jnp.int32)
+        length = length + len_c
+    length = jnp.where(has, 3 + length, 0)
+    length = jnp.minimum(length, jnp.maximum(n - pos, 0))
+    # one packed output (dist 9b | len 9b) halves the VMEM output buffers
+    dl_ref[0] = (jnp.where(has, best_d, 0) << 9) | length
+
+
+def _halo_bytes(b: jax.Array, halo: int, seg: int, rhalo: int) -> jax.Array:
+    """(N,) int32 bytes -> (LANES, halo + seg + rhalo) with -1 pads."""
+    idx = (
+        jnp.arange(LANES, dtype=jnp.int32)[:, None] * seg
+        - halo
+        + jnp.arange(halo + seg + rhalo, dtype=jnp.int32)[None, :]
+    )
+    valid = (idx >= 0) & (idx < b.shape[0])
+    vals = b[jnp.clip(idx, 0, b.shape[0] - 1)]
+    return jnp.where(valid, vals, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "max_match", "interpret"))
+def match_bitplane_batch(
+    data: jax.Array,  # uint8/int32 [B, N]
+    n: jax.Array,  # int32 [B]
+    window: int,
+    max_match: int,
+    interpret: bool | None = None,
+):
+    """(dist, length) int32[B, N] — element-equal to the XLA bitplane
+    matcher.  N must be a multiple of 128; window <= 256."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = data.shape
+    seg = N // LANES
+    halo, rhalo = window, max_match
+    b = data.astype(jnp.int32)
+    E = -(-(seg + rhalo) // 128) * 128
+    L = -(-(halo + E) // 128) * 128  # lane-aligned rows for roll
+    # the halo layout carries L - halo >= seg + rhalo columns per row so
+    # channel slices stay in-bounds (extra columns read real next-segment
+    # bytes or -1 pads; they are never consumed past seg + max_match)
+    ext = jax.vmap(lambda row: _halo_bytes(row, halo, seg, L - halo - seg))(b)
+
+    kern = functools.partial(
+        _match2_kernel, window=window, max_match=max_match, seg=seg
+    )
+    spec = pl.BlockSpec(
+        (1, LANES, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
+    )
+    ospec = pl.BlockSpec((1, LANES, seg), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    nch = (window + 31) // 32
+    dl = pl.pallas_call(
+        kern,
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, LANES, seg), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+        out_specs=ospec,
+        scratch_shapes=[pltpu.VMEM((nch * LANES, E), jnp.uint32)],
+        interpret=interpret,
+    )(n.astype(jnp.int32), ext)
+    dl = dl.reshape(B, N)
+    return dl >> 9, dl & 0x1FF

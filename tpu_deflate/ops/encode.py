@@ -591,6 +591,8 @@ def _encode_emissions(
     use_pallas: bool = False,
     lazy: bool = False,
     dynamic_encode: bool = False,
+    pre_dist: jax.Array | None = None,
+    pre_length: jax.Array | None = None,
 ):
     """Stages 1-4 of one block's encode: match, extend, parse, per-token
     emission values/widths and bit offsets.  Pure per-lane (vmappable);
@@ -609,7 +611,10 @@ def _encode_emissions(
     key3 = b | (b1 << 8) | (b2 << 16)
     # make positions whose 3-byte window crosses n unique so they never match
     key3 = jnp.where(idx + 3 <= n, key3, (1 << 24) + idx)
-    if use_pallas and not use_sort_matcher and N % 128 == 0:
+    if pre_dist is not None:
+        # stages 1+2 already computed (batched Pallas bitplane matcher)
+        dist, length = pre_dist, pre_length
+    elif use_pallas and not use_sort_matcher and N % 128 == 0:
         # fused VMEM kernel for stages 1+2 (the FAST matcher analog)
         from tpu_deflate.kernels.match import find_matches_pallas
 
@@ -982,6 +987,8 @@ def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateCo
     accumulator, deflate.py:535-567)."""
     from tpu_deflate.kernels.monotone import SLAB, mono_scatter_add
 
+    import os as _os
+
     use_sort = config.window > 256
     B, N = data.shape
     M = max_output_bytes(N)
@@ -994,7 +1001,29 @@ def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateCo
         lazy=config.lazy,
         dynamic_encode=config.dynamic_encode,
     )
-    vals, nbs, offs, total_bits, ntok = jax.vmap(f)(data, lengths, finals)
+    if (
+        jax.devices()[0].platform == "tpu"
+        and not use_sort
+        and config.window <= 256
+        and N % 128 == 0
+        and not _os.environ.get("TPU_DEFLATE_NO_PALLAS_MATCH")
+    ):
+        # stages 1+2 for the whole batch in ONE kernel launch (the XLA
+        # sweep is dispatch-bound at ~4 ops x window distances)
+        from tpu_deflate.kernels.match2 import match_bitplane_batch
+
+        dists, lens2 = match_bitplane_batch(
+            data, lengths, config.window, config.max_match
+        )
+
+        def f2(d, n_, fin, pd, pl_):
+            return f(d, n_, fin, pre_dist=pd, pre_length=pl_)
+
+        vals, nbs, offs, total_bits, ntok = jax.vmap(f2)(
+            data, lengths, finals, dists, lens2
+        )
+    else:
+        vals, nbs, offs, total_bits, ntok = jax.vmap(f)(data, lengths, finals)
 
     live = nbs > 0
     # emission values are <= 28 bits (codes + merged distance extras); the
