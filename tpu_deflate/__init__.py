@@ -26,6 +26,7 @@ from tpu_deflate.api import (
     decompress,
     decompress_gzip,
     decompress_indexed,
+    StreamDecompressor,
 )
 from tpu_deflate.ref.inflate import DeflateError
 from tpu_deflate.config import (
@@ -50,6 +51,7 @@ __all__ = [
     "LOWLUT",
     "REFERENCE_PARITY",
     "StreamCompressor",
+    "StreamDecompressor",
     "compress",
     "compress_gzip",
     "compress_gzip_members",
