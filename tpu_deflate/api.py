@@ -205,9 +205,17 @@ def decompress_indexed(
         raise ValueError(f"inflate error codes {errs[errs != 0][:8]}")
     outs_h = np.asarray(outs)[:nchunks]
     totals_h = np.asarray(totals)[:nchunks]
-    result = b"".join(
-        outs_h[i, : totals_h[i]].tobytes() for i in range(nchunks)
-    )
+    if nchunks > 1 and (totals_h[:-1] == chunk).all():
+        # common shape (all interior chunks full): one memcpy, not a
+        # per-chunk join — this host's CPU is slow
+        result = (
+            outs_h[:-1].reshape(-1).tobytes()
+            + outs_h[-1, : totals_h[-1]].tobytes()
+        )
+    else:
+        result = b"".join(
+            outs_h[i, : totals_h[i]].tobytes() for i in range(nchunks)
+        )
     expect = int.from_bytes(stream[-4:], "big")
     import zlib as _z
 
