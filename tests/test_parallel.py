@@ -113,19 +113,23 @@ class TestShardedDecode:
         stream = np.zeros(m_pad, np.uint8)
         stream[: len(body)] = np.frombuffer(body, np.uint8)
 
-        outs, totals, errs = decode_sharded(
-            jnp.asarray(stream),
-            jnp.asarray(8 * offsets, jnp.int32),
-            jnp.asarray(8 * ends, jnp.int32),
-            mesh,
-            chunk_out_size=2048,
-        )
-        outs = np.asarray(outs)[:nchunks]
-        totals = np.asarray(totals)[:nchunks]
-        errs = np.asarray(errs)[:nchunks]
-        assert (errs == 0).all(), errs
-        got = b"".join(outs[i, : totals[i]].tobytes() for i in range(nchunks))
-        assert got == data
+        for static_only in (False, True):
+            outs, totals, errs = decode_sharded(
+                jnp.asarray(stream),
+                jnp.asarray(8 * offsets, jnp.int32),
+                jnp.asarray(8 * ends, jnp.int32),
+                mesh,
+                chunk_out_size=2048,
+                static_only=static_only,
+            )
+            outs_h = np.asarray(outs)[:nchunks]
+            totals_h = np.asarray(totals)[:nchunks]
+            errs_h = np.asarray(errs)[:nchunks]
+            assert (errs_h == 0).all(), (static_only, errs_h)
+            got = b"".join(
+                outs_h[i, : totals_h[i]].tobytes() for i in range(nchunks)
+            )
+            assert got == data
 
 
 class TestMultihost:

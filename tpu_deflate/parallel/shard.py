@@ -151,11 +151,13 @@ def decode_sharded(
     mesh: Mesh,
     chunk_out_size: int,
     axis: str = "dp",
+    static_only: bool = False,
 ):
     """DP-sharded chunk-parallel decode: stream replicated, chunk boundary
-    lists sharded over the mesh."""
+    lists sharded over the mesh.  ``static_only`` selects the arithmetic
+    stored/static-tree decoder (our container's fast path)."""
     tok_cap = chunk_out_size + 16
-    fn = decode_shard_fn(chunk_out_size, tok_cap, axis)
+    fn = decode_shard_fn(chunk_out_size, tok_cap, axis, static_only)
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
