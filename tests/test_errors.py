@@ -117,3 +117,55 @@ class TestPropertyRoundTrip:
         comp = api.compress(data, cfg)
         assert zlib.decompress(comp) == data
         assert api.decompress(comp) == data
+
+
+class TestAdversarialContainers:
+    """Corrupt containers must raise typed errors, never return wrong
+    bytes (checksums gate every assembled output)."""
+
+    def _payload(self):
+        return (b"adversarial robustness %d " * 800) % tuple(range(800))
+
+    def test_indexed_bit_flips_detected(self, rng):
+        from tpu_deflate import api
+        from tpu_deflate.config import DeflateConfig
+
+        cfg = DeflateConfig(chunk_size=4096)
+        data = self._payload()
+        stream, idx = api.compress_indexed(data, cfg)
+        for _ in range(4):
+            s = bytearray(stream)
+            pos = int(rng.integers(2, len(s) - 4))
+            s[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                out = api.decompress_indexed(bytes(s), idx, cfg)
+                assert out == data  # flip landed in dead padding
+            except ValueError:
+                pass
+
+    def test_indexed_truncation_and_bad_index(self):
+        import pytest
+
+        from tpu_deflate import api
+        from tpu_deflate.config import DeflateConfig
+
+        cfg = DeflateConfig(chunk_size=4096)
+        data = self._payload()
+        stream, idx = api.compress_indexed(data, cfg)
+        with pytest.raises(ValueError):
+            api.decompress_indexed(stream[: len(stream) // 2], idx, cfg)
+        bad = idx.copy()
+        bad[0] += 3
+        bad[1] -= 3
+        with pytest.raises(ValueError):
+            api.decompress_indexed(stream, bad, cfg)
+
+    def test_gzip_member_crc_corruption(self):
+        import pytest
+
+        from tpu_deflate import api
+
+        gm = bytearray(api.compress_gzip_members(self._payload()))
+        gm[-6] ^= 0xFF
+        with pytest.raises(ValueError):
+            api.decompress_gzip(bytes(gm))
