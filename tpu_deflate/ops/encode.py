@@ -119,6 +119,46 @@ def _extend_partial(b, dist, valid, n, k_from: int, k_to: int, alive, length):
     return jax.lax.fori_loop(k_from, k_to, body, (alive & valid, length))
 
 
+def _extend_words(b, b4, dist, active, n, start: int, max_match: int):
+    """Word-galloping LCP extension: 4 bytes per pair of gathers instead
+    of 1 (the gathers are the cost: ~100M idx/s on this chip), then a
+    <=3-byte refinement with exact byte/boundary semantics.  Returns the
+    absolute match length for `active` positions (garbage elsewhere)."""
+    N = b.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    L0 = jnp.full((N,), start, jnp.int32)
+    b4pad = jnp.concatenate([b4, jnp.zeros((max_match + 8,), jnp.int32)])
+
+    def wbody(t, carry):
+        al, L = carry
+        # positions still alive at step t have L = start + 4t exactly, so
+        # the target side is a STATIC shift (one gather per word, not two)
+        k = start + 4 * t
+        src = jnp.clip(idx - dist + k, 0, N - 1)
+        tgt = jax.lax.dynamic_slice(b4pad, (k,), (N,))
+        ok = (
+            al
+            & (k + 4 <= max_match)
+            & (idx + k + 4 <= n)
+            & (b4[src] == tgt)
+        )
+        return ok, jnp.where(ok, L + 4, L)
+
+    steps = max(0, (max_match - start + 3) // 4)
+    _, L = jax.lax.fori_loop(0, steps, wbody, (active, L0))
+
+    # refinement: the word phase stops within 3 bytes of the true end
+    # (mismatch inside the last word, the n boundary, or the length cap)
+    al = active
+    for _ in range(3):
+        src = jnp.clip(idx - dist + L, 0, N - 1)
+        tgt = jnp.clip(idx + L, 0, N - 1)
+        ok = al & (L < max_match) & (idx + L < n) & (b[src] == b[tgt])
+        L = jnp.where(ok, L + 1, L)
+        al = ok
+    return L
+
+
 def _match_candidates_multi(
     b: jax.Array,
     key3: jax.Array,
@@ -159,23 +199,24 @@ def _match_candidates_multi(
     cands.append(_prev_occurrence(key_hash(6)))
     cands.append(_prev_occurrence(key_hash(10)))
 
+    # packed 4-byte words make extension cost 2 gathers per 4 bytes
+    b1 = jnp.concatenate([b[1:], jnp.zeros((1,), jnp.int32)])
+    b2 = jnp.concatenate([b[2:], jnp.zeros((2,), jnp.int32)])
+    b3 = jnp.concatenate([b[3:], jnp.zeros((3,), jnp.int32)])
+    b4 = b | (b1 << 8) | (b2 << 16) | (b3 << 24)
+
     best_len = jnp.zeros((N,), jnp.int32)
     best_dist = jnp.zeros((N,), jnp.int32)
     for c in cands:
         d = idx - c
-        valid = (c >= 0) & (d >= 1) & (d <= window) & (idx + 3 <= n)
-        # verify the 3-byte seed (hashed keys may collide)
-        s0 = jnp.clip(idx - d, 0, N - 1)
-        seed = (
-            (b[s0] == b[idx])
-            & (b[jnp.clip(s0 + 1, 0, N - 1)] == b[jnp.clip(idx + 1, 0, N - 1)])
-            & (b[jnp.clip(s0 + 2, 0, N - 1)] == b[jnp.clip(idx + 2, 0, N - 1)])
-        )
+        valid = (c >= 0) & (d >= 1) & (d <= window)
+        # exact 3-byte seed via the key itself (hashed keys may collide;
+        # key3 carries unique sentinels beyond n, covering idx+3<=n too)
+        seed = key3[jnp.clip(c, 0, N - 1)] == key3[idx]
         valid = valid & seed
-        alive, ext = _extend_partial(
-            b, d, valid, n, 3, PROBE, valid, jnp.zeros((N,), jnp.int32)
+        ln = jnp.where(
+            valid, _extend_words(b, b4, d, valid, n, 3, PROBE), 0
         )
-        ln = jnp.where(valid, 3 + ext, 0)
         better = (ln > best_len) | ((ln == best_len) & (ln > 0) & (d < best_dist))
         best_len = jnp.where(better, ln, best_len)
         best_dist = jnp.where(better, d, best_dist)
@@ -183,17 +224,8 @@ def _match_candidates_multi(
     # full extension for the winner only
     if max_match > PROBE:
         at_cap = best_len == PROBE
-        _, ext2 = _extend_partial(
-            b,
-            best_dist,
-            at_cap,
-            n,
-            PROBE,
-            max_match,
-            at_cap,
-            jnp.zeros((N,), jnp.int32),
-        )
-        best_len = best_len + jnp.where(at_cap, ext2, 0)
+        ext2 = _extend_words(b, b4, best_dist, at_cap, n, PROBE, max_match)
+        best_len = jnp.where(at_cap, ext2, best_len)
     best_len = jnp.minimum(best_len, jnp.maximum(n - idx, 0))
     return best_dist, best_len
 
