@@ -314,3 +314,35 @@ class TestStaticOnlyTokenizer:
         )
         stream, index = api.compress_indexed(data, cfg)
         assert api.decompress_indexed(stream, index, cfg) == data
+
+
+def test_multi_pass_boundary_chase():
+    """Streams longer than one plane window: tokens accumulate across
+    block passes (the window-continue path and the compaction's
+    cross-pass slot offsets)."""
+    import zlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_deflate.ops import decode as D
+
+    data = (b"multi pass check %d " * 700) % tuple(range(700))
+    co = zlib.compressobj(6, zlib.DEFLATED, 15, 8, zlib.Z_FIXED)
+    s = co.compress(data) + co.flush()
+    raw = np.frombuffer(s, np.uint8)[2:-4]
+    m_pad = 1 << int(np.ceil(np.log2(len(raw) + 8)))
+    arr = jnp.asarray(np.pad(raw, (0, m_pad - len(raw))))
+    rows = jnp.stack([arr, arr])
+    ends = jnp.asarray([8 * len(raw)] * 2, jnp.int32)
+    for pwin in (1088, 17408):
+        tk, ta, tb, tp, tot, pos, err = jax.vmap(
+            lambda row, ee: D.tokenize(
+                row, 0, tok_cap=1 << 15, end_bit=ee, pwin=pwin,
+                stop_at_eob=True, static_only=True,
+            )
+        )(rows, ends)
+        assert (np.asarray(err) == 0).all(), (pwin, np.asarray(err))
+        out, total = D.expand_batch(rows, tk, ta, tb, tp, out_cap=1 << 15)
+        got = np.asarray(out)[0, : int(np.asarray(total)[0])].tobytes()
+        assert got == data, pwin
