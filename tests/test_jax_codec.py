@@ -238,6 +238,53 @@ class TestGzipMembers:
         assert api.decompress_gzip(g, self.CFG) == b""
 
 
+class TestStreamDecompressor:
+    """Incremental decode: output must flow BEFORE the final flush when
+    the input is the self-indexing member container (the analog of the
+    reference's backpressured READ drain, test_deflate.py:142-174)."""
+
+    CFG = DeflateConfig(window=256, max_match=10, chunk_size=4096)
+
+    def test_incremental_member_output(self):
+        data = b"".join(corpus(m, 6000) for m in [0, 1, 3, 2])
+        g = api.compress_gzip_members(data, self.CFG)
+        d = api.StreamDecompressor(self.CFG)
+        got = b""
+        early = 0
+        step = 1000
+        for i in range(0, len(g), step):
+            piece = d.decompress(g[i : i + step])
+            got += piece
+            if i + step < len(g) and piece:
+                early += len(piece)
+        got += d.flush()
+        assert got == data
+        assert early > 0, "no output produced before flush"
+
+    def test_single_shot_members(self):
+        data = corpus(1, 9000)
+        g = api.compress_gzip_members(data, self.CFG)
+        d = api.StreamDecompressor(self.CFG)
+        out = d.decompress(g) + d.flush()
+        assert out == data
+
+    def test_zlib_whole_stream_fallback(self):
+        data = corpus(3, 9000)
+        comp = api.compress(data, self.CFG)
+        d = api.StreamDecompressor(self.CFG)
+        assert d.decompress(comp[:50]) == b""
+        assert d.decompress(comp[50:]) == b""
+        assert d.flush() == data
+
+    def test_truncated_member_rejected(self):
+        data = corpus(0, 9000)
+        g = api.compress_gzip_members(data, self.CFG)
+        d = api.StreamDecompressor(self.CFG)
+        d.decompress(g[: len(g) - 7])
+        with pytest.raises(ValueError):
+            d.flush()
+
+
 class TestStaticOnlyTokenizer:
     """static_only=True must agree bit-exactly with the general tokenizer
     on stored/static streams and reject dynamic blocks with ERR_DYNAMIC."""

@@ -47,8 +47,16 @@ def deflate_device(data: bytes, config: DeflateConfig = DeflateConfig()):
 
     The batch is padded to a power of two with empty blocks (trailing,
     dropped on assembly) so compiled programs are reused across sizes.
+    ``config.one_block`` encodes the whole input as a single chunk (one
+    DEFLATE block), the reference's ONEBLOCK elaboration
+    (/root/reference/deflate.py:28).
     """
-    arr, lengths = _chunk(data, config.chunk_size)
+    chunk_size = config.chunk_size
+    if config.one_block:
+        chunk_size = max(
+            chunk_size, 1 << int(np.ceil(np.log2(max(len(data), 2))))
+        )
+    arr, lengths = _chunk(data, chunk_size)
     nchunks = arr.shape[0]
     bpad = max(1, 1 << int(np.ceil(np.log2(nchunks))))
     if bpad > nchunks:
@@ -186,17 +194,25 @@ def decompress_indexed(
     chunk = config.chunk_size
     tok_cap = chunk + 16
     from tpu_deflate.ops.decode import ERR_DYNAMIC
+    from tpu_deflate.ref.inflate import DeflateError
 
     # arithmetic static decode first (our container is static/stored
-    # unless dynamic_encode); fall back on ERR_DYNAMIC lanes
+    # unless dynamic_encode); fall back on ERR_DYNAMIC lanes when the
+    # config's DYNAMIC elaboration flag allows the dynamic decoder
+    allow_dynamic = config.dynamic and not config.low_lut
     ss = jnp.asarray(starts, jnp.int32)
     ee = jnp.asarray(ends, jnp.int32)
-    static_first = not config.dynamic_encode
+    static_first = (not config.dynamic_encode) or not allow_dynamic
     outs, totals, errs = _chunk_decoder(chunk, tok_cap, static_first)(
         dbuf, ss, ee
     )
     errs = np.asarray(errs)[:nchunks]
     if static_first and (errs == ERR_DYNAMIC).any():
+        if not allow_dynamic:
+            raise DeflateError(
+                "dynamic-Huffman block rejected: decoder compiled with "
+                "dynamic=False/low_lut"
+            )
         outs, totals, errs = _chunk_decoder(chunk, tok_cap, False)(
             dbuf, ss, ee
         )
@@ -390,7 +406,14 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
         from tpu_deflate.ref.inflate import gzip_decompress as _host_gzip
 
         return _host_gzip(data)
+    return b"".join(_decode_member_bodies(data, members, config))
 
+
+def _decode_member_bodies(data: bytes, members, config: DeflateConfig):
+    """Batched device decode of self-indexing gzip members.
+
+    members: list of (body_start, body_end, isize) into ``data``.  Returns
+    the decoded bytes of each member (CRC-verified), in order."""
     chunk = config.chunk_size
     if any(isize > chunk for (_s, _e, isize) in members):
         raise ValueError("member larger than config.chunk_size")
@@ -407,19 +430,28 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
         ends[i] = 8 * e
     tok_cap = chunk + 16
     from tpu_deflate.ops.decode import ERR_DYNAMIC
+    from tpu_deflate.ref.inflate import DeflateError
 
+    allow_dynamic = config.dynamic and not config.low_lut
     ss = jnp.asarray(starts, jnp.int32)
     ee = jnp.asarray(ends, jnp.int32)
-    static_first = not config.dynamic_encode
+    static_first = (not config.dynamic_encode) or not allow_dynamic
     outs, totals, errs = _chunk_decoder(chunk, tok_cap, static_first)(dbuf, ss, ee)
     errs = np.asarray(errs)[:nm]
     if static_first and (errs == ERR_DYNAMIC).any():
+        if not allow_dynamic:
+            raise DeflateError(
+                "dynamic-Huffman block rejected: decoder compiled with "
+                "dynamic=False/low_lut"
+            )
         outs, totals, errs = _chunk_decoder(chunk, tok_cap, False)(dbuf, ss, ee)
         errs = np.asarray(errs)[:nm]
     if (errs != 0).any():
         raise ValueError(f"inflate error codes {errs[errs != 0][:8]}")
     outs_h = np.asarray(outs)[:nm]
     totals_h = np.asarray(totals)[:nm]
+    from zlib import crc32 as _crc  # C impl: host CPU is very slow
+
     parts = []
     for i, (s, e, isize) in enumerate(members):
         piece = outs_h[i, : totals_h[i]].tobytes()
@@ -429,33 +461,86 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
         if _crc(piece) != expect:
             raise ValueError(f"member {i} CRC-32 mismatch")
         parts.append(piece)
-    return b"".join(parts)
+    return parts
 
 
 class StreamDecompressor:
     """Incremental decompression counterpart of StreamCompressor.
 
-    Feed compressed bytes with decompress(); output is produced as soon as
-    complete DEFLATE blocks are decodable (chunk granularity for streams
-    our encoder produced; whole-stream granularity otherwise).  flush()
-    verifies the trailer and returns any remaining output.  This is the
-    array-API analog of the reference's backpressured READ drain
-    (/root/reference/test_deflate.py:142-174).
+    Feed compressed bytes with decompress(); output is emitted as soon as
+    complete units become decodable — member granularity for the
+    self-indexing gzip container (each member's FEXTRA 'TD' length makes
+    completeness checkable without decoding), whole-stream granularity for
+    index-free zlib input.  flush() verifies trailers and returns any
+    remaining output.  This is the array-API analog of the reference's
+    backpressured READ drain (/root/reference/test_deflate.py:142-174):
+    the consumer receives bytes while the producer is still feeding.
     """
 
     def __init__(self, config: DeflateConfig = DeflateConfig()):
         self._config = config
         self._buf = bytearray()
         self._finished = False
+        self._mode = None  # None (undecided) | "members" | "whole"
+
+    def _complete_members(self):
+        """Scan complete self-indexing members at the buffer head.
+        Returns (members, consumed_bytes) without decoding anything."""
+        members = []
+        pos = 0
+        buf = self._buf
+        n = len(buf)
+        while pos + _GZ_HDR_LEN <= n:
+            if (
+                bytes(buf[pos : pos + 2]) != b"\x1f\x8b"
+                or buf[pos + 3] != 0x04
+                or bytes(buf[pos + 12 : pos + 14]) != _GZ_SUBFIELD
+            ):
+                raise ValueError("not a self-indexing gzip member stream")
+            member_len = int.from_bytes(buf[pos + 16 : pos + 20], "little")
+            if pos + member_len > n:
+                break  # incomplete member: wait for more input
+            body_start = pos + _GZ_HDR_LEN
+            body_end = pos + member_len - 8
+            isize = int.from_bytes(
+                buf[pos + member_len - 4 : pos + member_len], "little"
+            )
+            members.append((body_start, body_end, isize))
+            pos += member_len
+        return members, pos
 
     def decompress(self, data: bytes) -> bytes:
         if self._finished:
             raise ValueError("stream already finished")
         self._buf.extend(data)
-        return b""  # output is delivered at flush (block-index-free input)
+        if self._mode is None and len(self._buf) >= _GZ_HDR_LEN:
+            is_member = (
+                bytes(self._buf[0:2]) == b"\x1f\x8b"
+                and self._buf[3] == 0x04
+                and bytes(self._buf[12:14]) == _GZ_SUBFIELD
+            )
+            self._mode = "members" if is_member else "whole"
+        if self._mode != "members":
+            return b""  # no index: output is delivered at flush
+        members, consumed = self._complete_members()
+        if not members:
+            return b""
+        head = bytes(self._buf[:consumed])
+        del self._buf[:consumed]
+        return b"".join(_decode_member_bodies(head, members, self._config))
 
     def flush(self) -> bytes:
         if self._finished:
             raise ValueError("stream already finished")
         self._finished = True
-        return decompress(bytes(self._buf), self._config)
+        tail = bytes(self._buf)
+        self._buf.clear()
+        if self._mode == "members":
+            if tail:
+                raise ValueError("truncated gzip member at end of stream")
+            return b""
+        if not tail:
+            return b""
+        if tail[:2] == b"\x1f\x8b":
+            return decompress_gzip(tail, self._config)
+        return decompress(tail, self._config)

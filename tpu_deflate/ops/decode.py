@@ -579,7 +579,8 @@ def _chase(plane: jax.Array, pwin: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tok_cap", "pwin", "stop_at_eob", "static_only", "vector_cllen"
+        "tok_cap", "pwin", "stop_at_eob", "static_only", "vector_cllen",
+        "one_block",
     ),
 )
 def tokenize(
@@ -591,6 +592,7 @@ def tokenize(
     stop_at_eob: bool = False,
     static_only: bool = False,
     vector_cllen: bool = True,
+    one_block: bool = False,
 ):
     """Stage 1: bitstream -> token arrays.
 
@@ -603,6 +605,9 @@ def tokenize(
     candidate plane becomes pure arithmetic (the LOWLUT analog; dynamic
     blocks return ERR_DYNAMIC so callers can fall back).  Our own
     container with dynamic_encode=False guarantees this statically.
+    ``one_block``: terminate after the FIRST block of any type (the
+    ONEBLOCK elaboration, deflate.py:28 — unlike stop_at_eob, a stored
+    block also terminates).
     Returns (tk, ta, tb, tp, out_total, end_pos, err).
     """
     M = data.shape[0]
@@ -666,6 +671,13 @@ def tokenize(
             ok = ln == (nln ^ 0xFFFF)
             byte_off = (p + 32) >> 3
             tp = s["tp"]
+            after_stored = (
+                jnp.int32(M_DONE)  # ONEBLOCK: any block type terminates
+                if one_block
+                else jnp.where(
+                    bfinal == 1, jnp.int32(M_DONE), jnp.int32(M_HEADER)
+                )
+            )
             return dict(
                 s,
                 pos=p + 32 + 8 * ln,
@@ -675,11 +687,7 @@ def tokenize(
                 tp=tp + 1,
                 out_total=s["out_total"] + ln,
                 bfinal=bfinal,
-                mode=jnp.where(
-                    ~ok,
-                    jnp.int32(M_ERROR),
-                    jnp.where(bfinal == 1, jnp.int32(M_DONE), jnp.int32(M_HEADER)),
-                ),
+                mode=jnp.where(~ok, jnp.int32(M_ERROR), after_stored),
                 err=jnp.where(ok, s["err"], jnp.int32(ERR_STORED)),
             )
 
@@ -964,7 +972,7 @@ def tokenize(
         new_pos = jnp.where(eob_hit, base + eob_rel + eob_nb, cont_pos)
         after_eob = (
             jnp.int32(M_DONE)
-            if stop_at_eob
+            if stop_at_eob or one_block
             else jnp.where(
                 s["bfinal"] == 1, jnp.int32(M_DONE), jnp.int32(M_HEADER)
             )
@@ -1289,11 +1297,17 @@ def inflate_device(
     data: bytes | np.ndarray,
     start_bit: int = 0,
     out_cap: int | None = None,
+    static_only: bool = False,
+    one_block: bool = False,
 ) -> tuple[np.ndarray, int, int]:
     """Full device inflate.  Returns (output array, output length, end bit).
 
     Retries with a doubled output buffer on overflow, like a host resizing
-    the reference's OBSIZE.
+    the reference's OBSIZE.  ``static_only`` compiles the LOWLUT analog
+    (arithmetic stored/static decoder only; dynamic-tree blocks raise) —
+    the elaboration specialization of the reference's DYNAMIC/LOWLUT flags
+    (/root/reference/deflate.py:25,21,275-286).  ``one_block`` stops after
+    the first end-of-block, the ONEBLOCK analog (deflate.py:28,415-421).
     """
     raw = np.frombuffer(bytes(data), dtype=np.uint8)
     m = len(raw)
@@ -1306,7 +1320,8 @@ def inflate_device(
     while True:
         tok_cap = cap + 16
         tk, ta, tb, tp, out_total, pos, err = tokenize(
-            arr, start_bit, tok_cap=tok_cap, pwin=pwin, vector_cllen=False
+            arr, start_bit, tok_cap=tok_cap, pwin=pwin, vector_cllen=False,
+            static_only=static_only, one_block=one_block,
         )
         err = int(err)
         if err == ERR_OVERFLOW or (err == ERR_OK and int(out_total) > cap):
@@ -1314,6 +1329,14 @@ def inflate_device(
             if cap > 1 << 31:
                 raise ValueError("output too large")
             continue
+        if err == ERR_DYNAMIC:
+            from tpu_deflate.ref.inflate import DeflateError
+
+            raise DeflateError(
+                "dynamic-Huffman block rejected: decoder compiled with "
+                "dynamic=False/low_lut (reference DYNAMIC flag, "
+                "deflate.py:25)"
+            )
         if err != ERR_OK:
             raise ValueError(f"inflate error code {err}")
         out, total = expand(arr, tk, ta, tb, tp, out_cap=cap)
@@ -1321,7 +1344,12 @@ def inflate_device(
 
 
 def zlib_decompress_device(data: bytes, config: DeflateConfig = DeflateConfig()) -> bytes:
-    """RFC 1950 unwrap + device inflate + Adler-32 verify."""
+    """RFC 1950 unwrap + device inflate + Adler-32 verify.
+
+    The config's DECOMPRESS-side elaboration flags specialize the compiled
+    program: ``dynamic=False`` / ``low_lut`` select the table-free
+    arithmetic static decoder (smaller program, ERR_DYNAMIC on dynamic
+    blocks); ``one_block`` stops after the first block."""
     from tpu_deflate.ops.checksum import adler32_jax
 
     if len(data) < 6:
@@ -1329,7 +1357,12 @@ def zlib_decompress_device(data: bytes, config: DeflateConfig = DeflateConfig())
     cmf, flg = data[0], data[1]
     if cmf & 0x0F != 8 or (cmf << 8 | flg) % 31 != 0:
         raise ValueError("bad zlib header")
-    out, total, end_bit = inflate_device(data, start_bit=16)
+    out, total, end_bit = inflate_device(
+        data,
+        start_bit=16,
+        static_only=config.low_lut or not config.dynamic,
+        one_block=config.one_block,
+    )
     trailer_at = (end_bit + 7) // 8
     expect = int.from_bytes(data[trailer_at : trailer_at + 4], "big")
     got = int(adler32_jax(jnp.asarray(out), total))

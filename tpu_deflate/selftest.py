@@ -57,10 +57,33 @@ def run_selftest(config: DeflateConfig | None = None, verbose: bool = True) -> b
     golden = zlib_compress(data, cfg)
     report("device-decode of golden stream", api.decompress(golden, cfg) == data)
 
-    # 4. compressed-size regression bound (reference asserts exact sizes;
-    #    we bound: device static encode of this corpus must stay small)
-    report("compressed-size bound", len(comp) <= len(data) // 3,
-           f"({len(comp)} <= {len(data) // 3})")
+    # 4. exact compressed sizes, the reference's 0x2a/0x10f discipline
+    #    (test_deflate.py:547-548): the default selftest config and the
+    #    dynamic-tree config must produce these byte counts EXACTLY —
+    #    any parse/emission change that alters output size fails here.
+    if config is None:
+        report(
+            "exact compressed size (static, win256/m10/4K)",
+            len(comp) == 0x234,
+            f"({len(comp):#x} == 0x234)",
+        )
+        dyn_cfg = DeflateConfig(
+            window=32768, max_match=258, chunk_size=4096, lazy=True,
+            dynamic_encode=True,
+        )
+        dyn_comp = api.compress(data, dyn_cfg)
+        report(
+            "exact compressed size (dynamic, win32K/m258/lazy)",
+            len(dyn_comp) == 0xFF,
+            f"({len(dyn_comp):#x} == 0xff)",
+        )
+        report(
+            "dynamic stream round-trips", zlib_decompress(dyn_comp) == data
+        )
+    else:
+        # custom config: fall back to the loose regression bound
+        report("compressed-size bound", len(comp) <= len(data) // 3,
+               f"({len(comp)} <= {len(data) // 3})")
 
     if verbose:
         print("SELFTEST", "PASSED" if ok else "FAILED")
