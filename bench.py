@@ -119,19 +119,13 @@ def main():
     try:
         dends = (8 * sizes).astype(jnp.int32)
         tok_cap = chunk + 16
-        from tpu_deflate.ops.decode import chunk_pwin
+        from tpu_deflate.ops.decode import decode_rows_batch
 
-        def dec_fn(rows, ee):
-            tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
-                lambda row, e: tokenize(
-                    row, 0, tok_cap=tok_cap, end_bit=e, pwin=chunk_pwin(chunk),
-                    stop_at_eob=True, static_only=True,
-                )
-            )(rows, ee)
-            o, total = expand_batch(rows, tk, ta, tb, tp, out_cap=chunk)
-            return o, total, err
-
-        dec = jax.jit(dec_fn)
+        dec = jax.jit(
+            lambda rows, ee: decode_rows_batch(
+                rows, ee, out_cap=chunk, tok_cap=tok_cap, static_only=True
+            )
+        )
         t0 = time.perf_counter()
         outs, totals, errs = dec(out, dends)
         np.asarray(totals)  # honest sync

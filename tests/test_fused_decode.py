@@ -1,0 +1,209 @@
+"""Interpret-mode parity tests for the fused decode kernels.
+
+kernels/tokenize.py (fused static tokenizer) and kernels/expand2.py
+(expansion v2) against their XLA formulations, zlib as the ultimate
+oracle — the same dual-backend discipline as the reference's
+MyHDL-sim/Icarus cosimulation (/root/reference/test_deflate.py:17-35).
+"""
+
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_deflate.kernels.expand2 import expand_fused2
+from tpu_deflate.kernels.tokenize import tokenize_static_batch
+from tpu_deflate.ops.decode import TK_LIT, decode_rows_batch, tokenize
+
+PW = 64 * 512  # small plane window so interpret mode stays fast
+
+
+def _zfixed(payload: bytes) -> bytes:
+    co = zlib.compressobj(9, zlib.DEFLATED, -15, 9, zlib.Z_FIXED)
+    return co.compress(payload) + co.flush()
+
+
+@pytest.fixture(scope="module")
+def static_streams(rng):
+    payloads = [
+        b"hello world " * 50,
+        bytes(rng.integers(65, 91, 700, dtype=np.uint8)) * 2,
+        b"a" * 1000,
+        b"",
+        b"x",
+        (b"ab" * 700),
+    ]
+    return [(p, _zfixed(p)) for p in payloads]
+
+
+class TestTokenizeFused:
+    def test_parity_vs_xla(self, static_streams):
+        M = PW // 8 + 32
+        B = len(static_streams)
+        rows = np.zeros((B, M), np.uint8)
+        ends = np.zeros((B,), np.int32)
+        for i, (_p, s) in enumerate(static_streams):
+            rows[i, : len(s)] = np.frombuffer(s, np.uint8)
+            ends[i] = 8 * len(s)
+        tok, ntok, out_total, end_pos, err = tokenize_static_batch(
+            jnp.asarray(rows), jnp.asarray(ends), pw=PW, interpret=True
+        )
+        tok = np.asarray(tok)
+        for i, (_p, s) in enumerate(static_streams):
+            tk_r, ta_r, tb_r, tp_r, tot_r, pos_r, err_r = tokenize(
+                jnp.asarray(rows[i]), 0, tok_cap=4096, end_bit=int(ends[i]),
+                pwin=PW, stop_at_eob=True, static_only=True,
+            )
+            tp_r = int(tp_r)
+            assert int(ntok[i]) == tp_r
+            assert int(out_total[i]) == int(tot_r)
+            assert int(err[i]) == int(err_r)
+            assert int(end_pos[i]) == int(pos_r)
+            if tp_r:
+                tk_f = (tok[i] >> 26) & 3
+                ta_f = (tok[i] >> 17) & 0x1FF
+                tb_f = tok[i] & 0x1FFFF
+                np.testing.assert_array_equal(tk_f[:tp_r], np.asarray(tk_r)[:tp_r])
+                np.testing.assert_array_equal(ta_f[:tp_r], np.asarray(ta_r)[:tp_r])
+                np.testing.assert_array_equal(tb_f[:tp_r], np.asarray(tb_r)[:tp_r])
+
+    def test_stored_lane_errors_are_contained(self, rng):
+        # a stored block is not the kernel's job (the decode_rows_batch
+        # cond routes it to XLA); here we just confirm the kernel flags
+        # or ignores it without crashing
+        p = bytes(rng.integers(0, 256, 600, dtype=np.uint8))
+        s = _zfixed(p)
+        assert (s[0] >> 1) & 3 == 0  # stored
+        rows = np.zeros((2, PW // 8 + 32), np.uint8)
+        rows[0, : len(s)] = np.frombuffer(s, np.uint8)
+        tok, ntok, tot, pos, err = tokenize_static_batch(
+            jnp.asarray(rows), jnp.asarray(np.array([8 * len(s), 0], np.int32)),
+            pw=PW, interpret=True,
+        )
+        assert int(err[1]) == 0 and int(ntok[1]) == 0  # empty lane clean
+
+
+def _emulate(tks, tas, tbs):
+    out = bytearray()
+    for k, a, b in zip(tks, tas, tbs):
+        if k == 0:
+            out.append(a)
+        else:
+            for _ in range(a):
+                out.append(out[-b])
+    return bytes(out)
+
+
+class TestExpandFused2:
+    def _run(self, tks, tas, tbs, out_cap, max_dist=2048):
+        tp = len(tks)
+        K = ((tp + 127) // 128 + 1) * 128
+        tk = np.zeros((1, K), np.int32)
+        ta = np.zeros((1, K), np.int32)
+        tb = np.zeros((1, K), np.int32)
+        tk[0, :tp] = tks
+        ta[0, :tp] = tas
+        tb[0, :tp] = tbs
+        live = np.arange(K) < tp
+        out_len = np.where(live, np.where(tk[0] == 0, 1, ta[0]), 0)
+        off = (np.cumsum(out_len) - out_len).astype(np.int32)[None]
+        total = np.array([out_len.sum()], np.int32)
+        c1 = ((tk & 3) << 9) | (ta & 0x1FF)
+        out = expand_fused2(
+            jnp.asarray(off), jnp.asarray(c1), jnp.asarray(tb),
+            jnp.asarray(np.array([tp], np.int32)), jnp.asarray(total),
+            out_cap=out_cap, max_dist=max_dist, interpret=True,
+        )
+        return np.asarray(out)[0, : int(total[0])].astype(np.uint8).tobytes()
+
+    @pytest.mark.parametrize(
+        "name,tks,tas,tbs,cap",
+        [
+            ("literals", [0] * 100, list(range(1, 101)), [0] * 100, 2048),
+            (
+                "d1_run_crossing",
+                [0] + [1] * 16, [65] + [258] * 16, [0] + [1] * 16, 6144,
+            ),
+            (
+                "d2_run_crossing",
+                [0, 0] + [1] * 16, [97, 98] + [258] * 16, [0, 0] + [2] * 16,
+                6144,
+            ),
+            (
+                "match_at_boundary",
+                [0] * 2045 + [1, 1] + [0] * 5,
+                [(i % 251) + 1 for i in range(2045)] + [10, 5, 1, 2, 3, 4, 5],
+                [0] * 2045 + [7, 2000] + [0] * 5,
+                4096,
+            ),
+            (
+                "nested_overlaps",
+                [0, 0, 0, 1, 1, 1, 1],
+                [1, 2, 3, 5, 7, 11, 258],
+                [0, 0, 0, 3, 5, 2, 13],
+                2048,
+            ),
+        ],
+    )
+    def test_cases(self, name, tks, tas, tbs, cap):
+        assert self._run(tks, tas, tbs, cap) == _emulate(tks, tas, tbs)
+
+    def test_wide_window_variant(self, rng):
+        # distances > 2048 need the max_dist=32768 variant
+        tks = [0] * 4000 + [1] * 8
+        tas = [int(x) for x in rng.integers(1, 255, 4000)] + [258] * 8
+        tbs = [0] * 4000 + [3000, 3500, 2500, 4000, 3999, 2049, 2100, 2048]
+        got = self._run(tks, tas, tbs, 8192, max_dist=32768)
+        assert got == _emulate(tks, tas, tbs)
+
+    def test_zlib_streams_roundtrip(self, rng, static_streams):
+        for p, s in static_streams:
+            if not p:
+                continue
+            row = np.zeros(len(s) + 64, np.uint8)
+            row[: len(s)] = np.frombuffer(s, np.uint8)
+            tk, ta, tb, tp, _t, _p2, err = tokenize(
+                jnp.asarray(row), 0, tok_cap=4096, end_bit=8 * len(s),
+                pwin=PW, stop_at_eob=True, static_only=True,
+            )
+            assert int(err) == 0
+            tkn = np.asarray(tk)[None]
+            if (tkn[0, : int(tp)] == 2).any():
+                continue  # stored lanes take the XLA path in production
+            tan = np.asarray(ta)[None]
+            tbn = np.asarray(tb)[None]
+            K = tkn.shape[1]
+            live = np.arange(K) < int(tp)
+            out_len = np.where(live, np.where(tkn[0] == 0, 1, tan[0]), 0)
+            off = (np.cumsum(out_len) - out_len).astype(np.int32)[None]
+            total = np.array([out_len.sum()], np.int32)
+            c1 = ((tkn & 3) << 9) | (tan & 0x1FF)
+            cap = ((len(p) + 2047) // 2048) * 2048 or 2048
+            out = expand_fused2(
+                jnp.asarray(off), jnp.asarray(c1), jnp.asarray(tbn),
+                jnp.asarray(np.array([int(tp)], np.int32)),
+                jnp.asarray(total), out_cap=cap, max_dist=32768,
+                interpret=True,
+            )
+            got = np.asarray(out)[0, : len(p)].astype(np.uint8).tobytes()
+            assert got == p
+
+
+class TestDecodeRowsBatch:
+    def test_fused_path_interpret(self, static_streams):
+        M = PW // 8 + 32
+        B = len(static_streams)
+        rows = np.zeros((B, M), np.uint8)
+        ends = np.zeros((B,), np.int32)
+        for i, (_p, s) in enumerate(static_streams):
+            rows[i, : len(s)] = np.frombuffer(s, np.uint8)
+            ends[i] = 8 * len(s)
+        out, totals, errs = decode_rows_batch(
+            jnp.asarray(rows), jnp.asarray(ends), out_cap=2048,
+            tok_cap=2064, static_only=True, interpret=True,
+        )
+        for i, (p, _s) in enumerate(static_streams):
+            assert int(errs[i]) == 0
+            assert np.asarray(out)[i, : int(totals[i])].tobytes() == p

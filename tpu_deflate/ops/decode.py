@@ -1225,7 +1225,8 @@ def expand_batch(data, tk, ta, tb, tp, out_cap: int):
     path via a runtime cond."""
     import os as _os
 
-    from tpu_deflate.kernels.expand import OTILE, expand_fused
+    from tpu_deflate.kernels.expand import expand_fused
+    from tpu_deflate.kernels.expand2 import OTILE, expand_fused2
     from tpu_deflate.kernels.resolve import resolve_roots
 
     data_axis = 0 if data.ndim == 2 else None  # 1-D = shared stream blob
@@ -1243,23 +1244,47 @@ def expand_batch(data, tk, ta, tb, tp, out_cap: int):
         return out, total
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    use_v1 = bool(_os.environ.get("TPU_DEFLATE_EXPAND_V1"))
     use_kernel = (
         on_tpu
         and out_cap % OTILE == 0
-        and OTILE <= out_cap <= (1 << 16)
+        and OTILE <= out_cap <= ((1 << 16) if use_v1 else (1 << 20))
         and tk.ndim == 2
         and not _os.environ.get("TPU_DEFLATE_NO_PALLAS_EXPAND")
     )
     if not use_kernel:
         return xla_path(None)
 
+    if use_v1:
+        def kern_path(_):
+            out_len_tok = jnp.where(live, jnp.where(tk == TK_LIT, 1, ta), 0)
+            off = (jnp.cumsum(out_len_tok, axis=-1) - out_len_tok).astype(jnp.int32)
+            total = jnp.sum(out_len_tok, axis=-1).astype(jnp.int32)
+            c1 = ((tk & 3) << 9) | (ta & 0x1FF)
+            outk = expand_fused(off, c1, tb, tp, total, out_cap=out_cap)
+            return outk.astype(jnp.uint8), total
+
+        return jax.lax.cond(any_stored, xla_path, kern_path, None)
+
+    def kern2(max_dist):
+        def f(_):
+            out_len_tok = jnp.where(live, jnp.where(tk == TK_LIT, 1, ta), 0)
+            off = (jnp.cumsum(out_len_tok, axis=-1) - out_len_tok).astype(jnp.int32)
+            total = jnp.sum(out_len_tok, axis=-1).astype(jnp.int32)
+            c1 = ((tk & 3) << 9) | (ta & 0x1FF)
+            outk = expand_fused2(
+                off, c1, tb, tp, total, out_cap=out_cap, max_dist=max_dist
+            )
+            return outk.astype(jnp.uint8), total
+
+        return f
+
+    # distances <= 2048 take the narrow pull window; the full RFC window
+    # compiles a second, 272-row variant (selected at runtime)
+    small_d = ~jnp.any(live & (tk == TK_MATCH) & (tb > 2048))
+
     def kern_path(_):
-        out_len_tok = jnp.where(live, jnp.where(tk == TK_LIT, 1, ta), 0)
-        off = (jnp.cumsum(out_len_tok, axis=-1) - out_len_tok).astype(jnp.int32)
-        total = jnp.sum(out_len_tok, axis=-1).astype(jnp.int32)
-        c1 = ((tk & 3) << 9) | (ta & 0x1FF)
-        outk = expand_fused(off, c1, tb, tp, total, out_cap=out_cap)
-        return outk.astype(jnp.uint8), total
+        return jax.lax.cond(small_d, kern2(2048), kern2(32768), None)
 
     return jax.lax.cond(any_stored, xla_path, kern_path, None)
 
@@ -1271,6 +1296,81 @@ def expand(data, tk, ta, tb, tp, out_cap: int):
         data[None], tk[None], ta[None], tb[None], tp[None], out_cap=out_cap
     )
     return out[0], total[0]
+
+
+def _fused_pw(out_cap: int) -> int:
+    """Plane window (bits) for the fused tokenizer: covers any single
+    static block that decodes to <= out_cap bytes (csize <= out_cap + 5·
+    ceil(out_cap/65535) + slack, else the encoder's finalize would have
+    picked the smaller stored form).  Must be a multiple of 64*128."""
+    want = 8 * (out_cap + 64)
+    return max(-(-want // 8192) * 8192, 8192)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_cap", "tok_cap", "static_only", "interpret")
+)
+def decode_rows_batch(
+    rows: jax.Array,  # uint8[B, M] — one byte-aligned block run per lane
+    ends: jax.Array,  # int32[B] — end bit (8 * compressed size per lane)
+    out_cap: int,
+    tok_cap: int,
+    static_only: bool = True,
+    interpret: bool = False,
+):
+    """Chunk-parallel decode of per-lane rows: stage 1 + stage 2.
+
+    Lanes stop at their first end-of-block (the indexed own-container
+    layout: one block per chunk).  On TPU with static_only, stage 1 runs
+    as the FUSED Pallas tokenizer (kernels/tokenize.py) when every lane
+    is a static block that fits the plane window; stored/dynamic lanes or
+    oversized streams take the XLA boundary-chase via a runtime cond.
+    Returns (out uint8[B, out_cap], totals int32[B], errs int32[B]).
+    """
+    import os as _os
+
+    B, M = rows.shape
+    ends = ends.astype(jnp.int32)
+    pwin = chunk_pwin(out_cap)
+
+    def xla_path(_):
+        tk, ta, tb, tp, _tot, _pos, err = jax.vmap(
+            lambda row, e: tokenize(
+                row, 0, tok_cap=tok_cap, end_bit=e, pwin=pwin,
+                stop_at_eob=True, static_only=static_only,
+            )
+        )(rows, ends)
+        out, total = expand_batch(rows, tk, ta, tb, tp, out_cap=out_cap)
+        return out, total, err
+
+    use_kernel = (
+        static_only
+        and out_cap <= (1 << 16)
+        and (jax.devices()[0].platform == "tpu" or interpret)
+        and not _os.environ.get("TPU_DEFLATE_NO_FUSED_TOKENIZE")
+    )
+    if not use_kernel:
+        return xla_path(None)
+
+    from tpu_deflate.kernels.tokenize import tokenize_static_batch
+
+    pw = _fused_pw(out_cap)
+    empty = ends <= 3
+    ok_lane = empty | (
+        (((rows[:, 0].astype(jnp.int32) >> 1) & 3) == 1) & (ends <= pw - 64)
+    )
+
+    def fused(_):
+        tok, ntok, _tot, _pos, err = tokenize_static_batch(
+            rows, ends, pw=pw, interpret=interpret
+        )
+        tk = (tok >> 26) & 3
+        ta = (tok >> 17) & 0x1FF
+        tb = tok & 0x1FFFF
+        out, total = expand_batch(rows, tk, ta, tb, ntok, out_cap=out_cap)
+        return out, total, err
+
+    return jax.lax.cond(jnp.all(ok_lane), fused, xla_path, None)
 
 
 def chunk_pwin(chunk: int) -> int:
