@@ -29,20 +29,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize() -> bool:
     """Initialize jax.distributed if a multi-process environment is
     detected (COORDINATOR_ADDRESS / JAX_COORDINATOR or TPU pod env).
-    Returns True if distributed init ran."""
-    if jax.process_count() > 1:
-        return True  # already initialized
+    Returns True if the process is part of a multi-process slice.
+
+    Must run before anything touches the XLA backend, so the coordinator
+    env is checked FIRST — jax.process_count() itself would initialize
+    the backend and poison jax.distributed.initialize()."""
     coord = os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
     if coord:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["NUM_PROCESSES"]),
-            process_id=int(os.environ["PROCESS_ID"]),
-        )
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is None:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["NUM_PROCESSES"]),
+                process_id=int(os.environ["PROCESS_ID"]),
+            )
         return True
-    return False
+    return jax.process_count() > 1
 
 
 def global_mesh(axis: str = "dp") -> Mesh:
