@@ -105,3 +105,28 @@ def test_expand2_wide_window_compiled(rng):
     stream, index = api.compress_indexed(data, cfg)
     assert zlib.decompress(stream) == data
     assert api.decompress_indexed(stream, index, cfg) == data
+
+
+def test_1mb_chunks_on_kernels(rng):
+    """BASELINE config 5: 1 MB chunks ride the kernels (HBM-resident
+    token windows in expand2), not the XLA fallbacks."""
+    import functools
+
+    from tpu_deflate.config import DeflateConfig
+    from tpu_deflate.ops.decode import decode_rows_batch
+    from tpu_deflate.ops.encode import encode_blocks_batch
+
+    chunk = 1 << 20
+    B = 2
+    raw = (b"one-megabyte chunk lane " * 90000)[: B * chunk]
+    data = np.frombuffer(raw, np.uint8).reshape(B, chunk)
+    cfg = DeflateConfig(window=256, max_match=10, chunk_size=chunk)
+    out, sizes, _ = jax.jit(
+        functools.partial(encode_blocks_batch, config=cfg)
+    )(jnp.asarray(data), jnp.asarray(np.full(B, chunk, np.int32)),
+      jnp.asarray(np.zeros(B, bool)))
+    o, totals, errs = decode_rows_batch(
+        out, (8 * sizes).astype(jnp.int32), out_cap=chunk,
+        tok_cap=chunk + 16, static_only=True)
+    assert (np.asarray(errs) == 0).all()
+    assert np.asarray(o).reshape(-1)[: B * chunk].tobytes() == raw

@@ -93,10 +93,11 @@ def _flat_cummax(x, carry):
 
 def _exp2_kernel(
     tok_lo_ref, tp_ref, tot_ref,  # SMEM
-    off_ref, c1_ref, tb_ref,  # VMEM (1, KR, 128)
+    off_ref, c1_ref, tb_ref,  # VMEM (1, KR, 128), or HBM when tok_hbm
     out_ref,  # (1, T*OROWS, 128)
-    res_ref, pscr_ref,  # scratch
-    *, KR: int, out_cap: int, mdr: int, ntiles: int, interp: bool,
+    res_ref, pscr_ref, *maybe_dma,  # scratch (+ window buf + sems if tok_hbm)
+    KR: int, out_cap: int, mdr: int, ntiles: int, interp: bool,
+    tok_hbm: bool = False,
 ):
     b = pl.program_id(0)
     tp = tp_ref[b]
@@ -167,9 +168,27 @@ def _exp2_kernel(
 
         # ---- token window -------------------------------------------------
         lo_row = tok_lo_ref[b, t] >> 7
-        woff = off_ref[0, pl.ds(lo_row, TW), :]
-        wc1 = c1_ref[0, pl.ds(lo_row, TW), :]
-        wtb = tb_ref[0, pl.ds(lo_row, TW), :]
+        if tok_hbm:
+            # token arrays too large for VMEM residency (1 MB chunks):
+            # DMA just this tile's window in from HBM
+            wbuf, sems = maybe_dma
+            cps = [
+                pltpu.make_async_copy(
+                    ref.at[b, pl.ds(lo_row, TW), :], wbuf.at[i], sems.at[i]
+                )
+                for i, ref in enumerate((off_ref, c1_ref, tb_ref))
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            woff = wbuf[0]
+            wc1 = wbuf[1]
+            wtb = wbuf[2]
+        else:
+            woff = off_ref[0, pl.ds(lo_row, TW), :]
+            wc1 = c1_ref[0, pl.ds(lo_row, TW), :]
+            wtb = tb_ref[0, pl.ds(lo_row, TW), :]
         eidx = (
             lo_row * 128
             + jax.lax.broadcasted_iota(jnp.int32, (TW, 128), 0) * 128
@@ -353,12 +372,29 @@ def expand_fused2(
     )
     tok_lo = jnp.clip(owner, 0, KR * 128 - TW * 128)
 
+    # token arrays stay HBM-resident (windows DMA'd per tile) once their
+    # VMEM blocks would crowd out the 16 MB budget
+    tok_hbm = (not interpret) and (3 * KR * 128 * 4 + out_cap * 4) > (10 << 20)
     kern = functools.partial(
         _exp2_kernel, KR=KR, out_cap=out_cap, mdr=mdr, ntiles=T,
-        interp=interpret,
+        interp=interpret, tok_hbm=tok_hbm,
     )
     tok3 = lambda x: x.reshape(B, KR, 128)
-    vspec = pl.BlockSpec((1, KR, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    if tok_hbm:  # ANY-space blocks must be the whole array
+        vspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        vspec = pl.BlockSpec(
+            (1, KR, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+    scratch = [
+        pltpu.VMEM((mdr + out_cap // 128, 128), jnp.int8),
+        pltpu.VMEM((5 * OROWS, 128), jnp.float32),
+    ]
+    if tok_hbm:
+        scratch += [
+            pltpu.VMEM((3, TW, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
     out = pl.pallas_call(
         kern,
         grid=(B,),
@@ -372,10 +408,7 @@ def expand_fused2(
         out_specs=pl.BlockSpec(
             (1, T * OROWS, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((mdr + out_cap // 128, 128), jnp.int8),
-            pltpu.VMEM((5 * OROWS, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(tok_lo, tp.astype(jnp.int32), total.astype(jnp.int32),
       tok3(off), tok3(c1), tok3(tb))

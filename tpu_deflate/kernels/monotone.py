@@ -132,7 +132,9 @@ def mono_scatter_add(idx: jax.Array, vals: jax.Array, size: int) -> jax.Array:
     on_tpu = jax.devices()[0].platform == "tpu"
     B, K = idx.shape
     C = vals.shape[1]
-    if (not on_tpu) or K % SLAB != 0:
+    # VMEM budget: per-lane blocks are idx (4K) + vals (4CK) + out (4C*size)
+    vmem_bytes = 4 * K * (1 + C) + 4 * C * (-(-size // 128) + WROWS) * 128
+    if (not on_tpu) or K % SLAB != 0 or vmem_bytes > (12 << 20):
         return mono_scatter_add_xla(idx, vals, size)
 
     T = K // SLAB

@@ -989,7 +989,7 @@ def tokenize(
         # VMEM; big single-stream token buffers must take the XLA scatter
         if (
             jax.devices()[0].platform == "tpu"
-            and tok_cap <= (1 << 20)
+            and tok_cap <= (1 << 19)  # (2, tok_cap) output stays in VMEM
             and not _os.environ.get("TPU_DEFLATE_NO_MONO_COMPACT")
         ):
             from tpu_deflate.kernels.monotone import mono_compact
@@ -1387,10 +1387,13 @@ def chunk_pwin(chunk: int) -> int:
 
 def _pick_pwin(nbytes: int) -> int:
     """Window (bit positions per parallel pass) covering nbytes of
-    compressed data, capped to bound memory."""
+    compressed data, capped to bound memory.  Cap measured on v5e:
+    2^17 beats 2^19 for multi-block single streams (zlib emits a block
+    per ~16K symbols, so wider planes mostly decode past the block end
+    and the boundary chase's fixed hierarchy cost grows with pwin)."""
     want = 8 * max(nbytes, 64)
     p = 1 << int(np.ceil(np.log2(want)))
-    return min(p, 1 << 19)
+    return min(p, 1 << 17)
 
 
 def inflate_device(
@@ -1419,8 +1422,11 @@ def inflate_device(
     pwin = _pick_pwin(m_pad)
     while True:
         tok_cap = cap + 16
+        # vector_cllen: the batched mini-chase header decode also wins for
+        # single streams on TPU (measured 46 vs 68 ms/MiB at zlib -6)
         tk, ta, tb, tp, out_total, pos, err = tokenize(
-            arr, start_bit, tok_cap=tok_cap, pwin=pwin, vector_cllen=False,
+            arr, start_bit, tok_cap=tok_cap, pwin=pwin,
+            vector_cllen=jax.devices()[0].platform == "tpu",
             static_only=static_only, one_block=one_block,
         )
         err = int(err)

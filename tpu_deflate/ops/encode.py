@@ -1038,6 +1038,8 @@ def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateCo
         and not use_sort
         and config.window <= 256
         and N % 128 == 0
+        # bitplane channel scratch is N*window/8 bytes; keep under VMEM
+        and N * config.window // 8 <= (6 << 20)
         and not _os.environ.get("TPU_DEFLATE_NO_PALLAS_MATCH")
     ):
         # stages 1+2 for the whole batch in ONE kernel launch (the XLA
