@@ -1,0 +1,257 @@
+"""Pallas TPU kernel: gather-native token expansion, v3.
+
+Supersedes kernels/expand2.py for match distances <= 256 (the win256
+own-container configs — both static and dynamic trees).  v2 walked
+2048-byte tiles sequentially, spending ~150 small ops per tile on
+one-hot-matmul scatter/fill/pick machinery (~27 us/tile, 4096 tiles per
+8 MiB).  v3 exploits Mosaic's ``tpu.dynamic_gather`` (jnp.take_along_axis
+along lanes) to process a WHOLE chunk per grid step with no tiling:
+
+  1. OWNERSHIP IS A MERGE, NOT A SCATTER.  Positions are dense integers,
+     token output offsets are sorted, and every token emits >= 1 byte, so
+     the token row owning position-row i's first byte is a prefix COUNT:
+     tr[i] = #{token rows j: off[128j] <= 128i} - 1, computed by summing
+     staircase one-hot matmuls — and the owner of each position then
+     falls in token rows {tr, tr+1} (a 128-position row advances <= 128
+     tokens).  This replaces paint + cummax fill entirely.
+
+  2. Each position row pulls its 256-token candidate window with SEVEN
+     (R, KR)@(KR, 256) one-hot byte-plane matmuls (off 17 bits -> 3
+     planes, packed kind|ta|dist 28 bits -> 4), then finds its owner by
+     a 7-round BINARY SEARCH over the sorted window — each round ONE
+     lane-gather (take_along_axis axis=1).
+
+  3. LZ77 resolution: parents collapse analytically within their own
+     token's run (q = so - d + (p - so) mod d, the windowed form of the
+     reference's off1/off2 overlap shortcuts, deflate.py:1630-1652),
+     bounding every initial delta by 513.  Values and deltas pack into
+     one int32 plane (delta<<8 | value, delta 0 = resolved); each
+     resolve round gathers the parent's packed word via 6 static
+     sublane shifts + lane-gathers and either adopts its value or
+     doubles the delta (clamped to 640 so the 6-row window always
+     covers it).  Real data converges in <= ~4 rounds; the clamp gives
+     a worst-case bound of ~out_cap/640 + log rounds.
+
+Element-equal to the XLA formulation (ops/decode._expand_fields +
+kernels/resolve.py); parity-tested in interpret mode.  Reference
+behavior anchor: the COPY datapath, /root/reference/deflate.py:1593-1659.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAXD = 256  # largest match distance this kernel accepts
+DCLAMP = 640  # doubled-delta clamp; ROWBACK rows always cover it
+ROWBACK = 5  # static sublane shifts per resolve round (covers 640+127)
+
+
+def _bdot(a, b):
+    return jnp.dot(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gather_lanes(x, idx):
+    """out[i, j] = x[i, idx[i, j]] — tpu.dynamic_gather along lanes."""
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def _imod(a, d):
+    """a mod d for int32 0 <= a < 2^18, 1 <= d < 2^18 (f32 div + fixup)."""
+    k = jnp.floor(a.astype(jnp.float32) / d.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    r = a - k * d
+    # correctly-rounded f32 division can overshoot floor by one at near-
+    # integer quotients; one fixup each way restores exactness
+    r = jnp.where(r < 0, r + d, r)
+    r = jnp.where(r >= d, r - d, r)
+    return r
+
+
+def _exp3_kernel(
+    tp_ref, tot_ref,  # SMEM int32[B]
+    fo_ref,  # (1, KRL) int32 — first offset of each token row (lane-major)
+    off_ref, fpk_ref,  # (1, KR, 128) int32 token planes
+    out_ref,  # (1, R, 128) int32
+    *, R: int, KR: int, KRL: int, interp: bool,
+):
+    total = tot_ref[pl.program_id(0)]
+    fo = fo_ref[0, :].reshape(1, KRL)
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    p = ri * 128 + li
+
+    # ---- 1. token row per position row: staircase count ----------------
+    cnt = jnp.zeros((R, 128), jnp.float32)
+    ones128 = jnp.ones((128, 128), jnp.bfloat16)
+    i128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
+    for c in range(KRL // 128):
+        foc = jax.lax.dynamic_slice(fo, (0, c * 128), (1, 128))
+        oh = (foc <= i128).astype(jnp.bfloat16)  # counts per chunk <= 128
+        cnt = cnt + _bdot(oh, ones128)
+    tr = cnt.astype(jnp.int32) - 1  # (R, 128), lanes equal, >= 0
+
+    # ---- 2. candidate token windows: rows tr, tr+1 ---------------------
+    off_t = off_ref[0]
+    fpk_t = fpk_ref[0]
+    zrow = jnp.zeros((1, 128), jnp.int32)
+    off2 = jnp.concatenate(
+        [off_t, jnp.concatenate([off_t[1:], zrow + (R * 128)], 0)], axis=1
+    )  # (KR, 256): lanes 0-127 row j, 128-255 row j+1
+    fpk2 = jnp.concatenate(
+        [fpk_t, jnp.concatenate([fpk_t[1:], zrow], 0)], axis=1
+    )
+    ki = jax.lax.broadcasted_iota(jnp.int32, (R, KR), 1)
+    ohw = (ki == tr[:, 0:1]).astype(jnp.bfloat16)  # (R, KR)
+
+    def gather_rows(planes, nb):
+        acc = None
+        for k in range(nb):
+            g = _bdot(ohw, ((planes >> (8 * k)) & 0xFF))
+            term = g.astype(jnp.int32) << (8 * k)
+            acc = term if acc is None else acc + term
+        return acc  # (R, 256) int32
+
+    W_off = gather_rows(off2, 3)
+    W_fpk = gather_rows(fpk2, 4)
+    WA = W_off[:, :128]
+    WB = W_off[:, 128:]
+
+    # ---- 3. owner per position: binary search (7 lane-gathers/piece) ---
+    def count_le(w):
+        c = jnp.zeros((R, 128), jnp.int32)
+        for k in (64, 32, 16, 8, 4, 2, 1):
+            t = jnp.clip(c + k - 1, 0, 127)
+            g = _gather_lanes(w, t)
+            c = jnp.where(g <= p, c + k, c)
+        return c
+
+    cntA = count_le(WA)
+    cntB = count_le(WB)
+    owner_rel = cntA + cntB - 1  # in [0, 255]
+
+    selB = owner_rel >= 128
+    oA = jnp.clip(owner_rel, 0, 127)
+    oB = jnp.clip(owner_rel - 128, 0, 127)
+
+    def pick2(w):
+        return jnp.where(
+            selB, _gather_lanes(w[:, 128:], oB), _gather_lanes(w[:, :128], oA)
+        )
+
+    fv = pick2(W_fpk)
+    so = pick2(W_off)
+
+    kind = (fv >> 26) & 3
+    ta = (fv >> 17) & 0x1FF
+    dist = fv & 0x1FFFF
+
+    # ---- 4. init packed plane: delta<<8 | value (delta 0 = resolved) ---
+    in_range = p < total
+    is_m = in_range & (kind == 1)
+    d = jnp.maximum(dist, 1)
+    a = jnp.maximum(p - so, 0)
+    q = so - d + _imod(a, d)  # first chain element < so (or p - d if a < d)
+    q = jnp.clip(q, 0, jnp.maximum(p - 1, 0))
+    D0 = p - q  # in [1, 513]
+    P = jnp.where(is_m, D0 << 8, jnp.where(in_range, ta & 0xFF, 0))
+
+    # ---- 5. resolve rounds: gather parent's packed word ----------------
+    def rnd(P):
+        Dp = P >> 8
+        qq = p - Dp
+        qrb = ri - (qq >> 7)  # rows back, 0..ROWBACK
+        ql = qq & 127
+        acc = jnp.zeros((R, 128), jnp.int32)
+        sh = P
+        for k in range(ROWBACK + 1):
+            if k:
+                sh = jnp.concatenate([jnp.zeros((k, 128), jnp.int32),
+                                      P[: R - k]], axis=0)
+            g = _gather_lanes(sh, ql)
+            acc = jnp.where(qrb == k, g, acc)
+        Dq = acc >> 8
+        nD = Dp + Dq
+        res = jnp.where(
+            Dq == 0, acc & 0xFF, jnp.where(nD <= DCLAMP, nD << 8, P)
+        )
+        return jnp.where(Dp > 0, res, P)
+
+    P = rnd(rnd(rnd(P)))
+
+    def cond(c):
+        Pc, r = c
+        return jnp.any((Pc >> 8) > 0) & (r < jnp.int32(R * 128))
+
+    def body(c):
+        Pc, r = c
+        return rnd(Pc), r + 1
+
+    P, _ = jax.lax.while_loop(cond, body, (P, jnp.int32(3)))
+
+    out_ref[0] = jnp.where(in_range, P & 0xFF, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "interpret"))
+def expand_fused3(
+    off: jax.Array,  # int32[B, K] per-token exclusive output offsets
+    c1: jax.Array,  # int32[B, K] kind<<9 | ta  (kind 0 lit, 1 match)
+    tb: jax.Array,  # int32[B, K] match distance (0 for literals)
+    tp: jax.Array,  # int32[B]
+    total: jax.Array,  # int32[B]
+    out_cap: int,
+    interpret: bool = False,
+):
+    """Gather-native paint-free expansion.  Returns int32[B, out_cap].
+
+    Requires every match distance <= 256 (callers route larger
+    distances to expand_fused2 / the XLA path)."""
+    B, K = off.shape
+    assert out_cap % 128 == 0
+    R = out_cap // 128
+    KR = -(-(K + 1) // 128) + 1  # +1 row so the tr+1 window never overruns
+    pad = KR * 128 - K
+    live = jnp.arange(K, dtype=jnp.int32) < tp[:, None]
+    off = jnp.where(live, off, out_cap)
+    off = jnp.pad(off, ((0, 0), (0, pad)), constant_values=out_cap)
+    kind = jnp.clip(c1 >> 9, 0, 3)
+    fpk = (kind << 26) | ((c1 & 0x1FF) << 17) | (tb & 0x1FFFF)
+    fpk = jnp.pad(jnp.where(live, fpk, 0), ((0, 0), (0, pad)))
+
+    off3 = off.reshape(B, KR, 128)
+    fpk3 = fpk.reshape(B, KR, 128)
+    KRL = -(-KR // 128) * 128
+    fo = jnp.pad(off3[:, :, 0], ((0, 0), (0, KRL - KR)),
+                 constant_values=out_cap)
+
+    kern = functools.partial(
+        _exp3_kernel, R=R, KR=KR, KRL=KRL, interp=interpret
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, R, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, KRL), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KR, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KR, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, 128), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tp.astype(jnp.int32), total.astype(jnp.int32), fo, off3, fpk3)
+    return out.reshape(B, out_cap)

@@ -1266,25 +1266,39 @@ def expand_batch(data, tk, ta, tb, tp, out_cap: int):
 
         return jax.lax.cond(any_stored, xla_path, kern_path, None)
 
-    def kern2(max_dist):
-        def f(_):
-            out_len_tok = jnp.where(live, jnp.where(tk == TK_LIT, 1, ta), 0)
-            off = (jnp.cumsum(out_len_tok, axis=-1) - out_len_tok).astype(jnp.int32)
-            total = jnp.sum(out_len_tok, axis=-1).astype(jnp.int32)
-            c1 = ((tk & 3) << 9) | (ta & 0x1FF)
-            outk = expand_fused2(
-                off, c1, tb, tp, total, out_cap=out_cap, max_dist=max_dist
-            )
-            return outk.astype(jnp.uint8), total
+    from tpu_deflate.kernels.expand3 import MAXD as MAXD3, expand_fused3
 
-        return f
-
-    # distances <= 2048 take the narrow pull window; the full RFC window
-    # compiles a second, 272-row variant (selected at runtime)
-    small_d = ~jnp.any(live & (tk == TK_MATCH) & (tb > 2048))
+    use_v3 = out_cap <= (1 << 16) and not _os.environ.get(
+        "TPU_DEFLATE_NO_EXPAND_V3"
+    )
 
     def kern_path(_):
-        return jax.lax.cond(small_d, kern2(2048), kern2(32768), None)
+        out_len_tok = jnp.where(live, jnp.where(tk == TK_LIT, 1, ta), 0)
+        off = (jnp.cumsum(out_len_tok, axis=-1) - out_len_tok).astype(jnp.int32)
+        total = jnp.sum(out_len_tok, axis=-1).astype(jnp.int32)
+        c1 = ((tk & 3) << 9) | (ta & 0x1FF)
+
+        def v3(_):
+            outk = expand_fused3(off, c1, tb, tp, total, out_cap=out_cap)
+            return outk.astype(jnp.uint8), total
+
+        def v2(max_dist):
+            def f(_):
+                outk = expand_fused2(
+                    off, c1, tb, tp, total, out_cap=out_cap, max_dist=max_dist
+                )
+                return outk.astype(jnp.uint8), total
+
+            return f
+
+        # distances <= 256 take the gather-native v3 kernel; <= 2048 the
+        # narrow v2 pull window; the full RFC window a 272-row v2 variant
+        small_d = ~jnp.any(live & (tk == TK_MATCH) & (tb > 2048))
+        v2_path = lambda x: jax.lax.cond(small_d, v2(2048), v2(32768), x)
+        if not use_v3:
+            return v2_path(None)
+        tiny_d = ~jnp.any(live & (tk == TK_MATCH) & (tb > MAXD3))
+        return jax.lax.cond(tiny_d, v3, v2_path, None)
 
     return jax.lax.cond(any_stored, xla_path, kern_path, None)
 
