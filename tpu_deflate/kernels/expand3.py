@@ -79,13 +79,14 @@ def _imod(a, d):
 
 def _exp3_kernel(
     tp_ref, tot_ref,  # SMEM int32[B]
-    fo_ref,  # (1, KRL) int32 — first offset of each token row (lane-major)
+    fo_ref,  # (1, 8, KRL) int32 — first offset per token row (lane-major,
+    #          padded to 8 sublanes for Mosaic's block divisibility rule)
     off_ref, fpk_ref,  # (1, KR, 128) int32 token planes
     out_ref,  # (1, R, 128) int32
     *, R: int, KR: int, KRL: int, interp: bool,
 ):
     total = tot_ref[pl.program_id(0)]
-    fo = fo_ref[0, :].reshape(1, KRL)
+    fo8 = fo_ref[0]  # (8, KRL), all sublanes equal
 
     ri = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
     li = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
@@ -96,7 +97,9 @@ def _exp3_kernel(
     ones128 = jnp.ones((128, 128), jnp.bfloat16)
     i128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
     for c in range(KRL // 128):
-        foc = jax.lax.dynamic_slice(fo, (0, c * 128), (1, 128))
+        # whole-tile slice then sublane 0: keeps the layout tile-aligned
+        # (a lane slice of a (1, KRL) vector trips a Mosaic relayout bug)
+        foc = fo8[:, c * 128:(c + 1) * 128][0:1]
         oh = (foc <= i128).astype(jnp.bfloat16)  # counts per chunk <= 128
         cnt = cnt + _bdot(oh, ones128)
     tr = cnt.astype(jnp.int32) - 1  # (R, 128), lanes equal, >= 0
@@ -134,7 +137,9 @@ def _exp3_kernel(
             t = jnp.clip(c + k - 1, 0, 127)
             g = _gather_lanes(w, t)
             c = jnp.where(g <= p, c + k, c)
-        return c
+        # the 7 rounds sum to 127, so a full window (all 128 entries
+        # <= p) is undercounted by one; sorted w makes the test free
+        return jnp.where(w[:, 127:128] <= p, 128, c)
 
     cntA = count_le(WA)
     cntB = count_le(WB)
@@ -233,6 +238,7 @@ def expand_fused3(
     KRL = -(-KR // 128) * 128
     fo = jnp.pad(off3[:, :, 0], ((0, 0), (0, KRL - KR)),
                  constant_values=out_cap)
+    fo = jnp.broadcast_to(fo[:, None, :], (B, 8, KRL))
 
     kern = functools.partial(
         _exp3_kernel, R=R, KR=KR, KRL=KRL, interp=interpret
@@ -244,7 +250,8 @@ def expand_fused3(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, KRL), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, KRL), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, KR, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, KR, 128), lambda b: (b, 0, 0),
