@@ -104,6 +104,49 @@ def test_expand3_empty_and_all_literal():
     np.testing.assert_array_equal(got[1, :300], np.arange(300) & 0xFF)
 
 
+def test_expand3_long_runs():
+    """Multi-KB constant-distance runs (the far-pull path): a 40 KB d=1
+    zero-run and a 20 KB d=7 pattern run, plus nested structure after."""
+    out_cap = 65536
+    K = out_cap + 16
+    off = np.full((1, K), out_cap, np.int32)
+    c1 = np.zeros((1, K), np.int32)
+    tb = np.zeros((1, K), np.int32)
+    toks = [(0, 0, 0, 0)]  # one zero literal
+    out = [0]
+    pos = 1
+    while pos < 40961:  # d=1 run, ~40 KB
+        ln = min(258, 40961 - pos)
+        toks.append((pos, 1, ln, 1))
+        out.extend([out[-1]] * ln)
+        pos += ln
+    for v in (1, 2, 3, 4, 5, 6, 7):
+        toks.append((pos, 0, v, 0))
+        out.append(v)
+        pos += 1
+    end = pos + 20000
+    while pos < end:  # d=7 run, ~20 KB
+        ln = min(258, end - pos)
+        toks.append((pos, 1, ln, 7))
+        for _ in range(ln):
+            out.append(out[len(out) - 7])
+        pos += ln
+    toks.append((pos, 1, 258, 256))  # far flat copy
+    for _ in range(258):
+        out.append(out[len(out) - 256])
+    pos += 258
+    for k, (o, kind, ta, d) in enumerate(toks):
+        off[0, k] = o
+        c1[0, k] = (kind << 9) | ta
+        tb[0, k] = d
+    tp = jnp.asarray(np.array([len(toks)], np.int32))
+    total = jnp.asarray(np.array([pos], np.int32))
+    got = np.asarray(expand_fused3(
+        jnp.asarray(off), jnp.asarray(c1), jnp.asarray(tb), tp, total,
+        out_cap=out_cap, interpret=True))
+    np.testing.assert_array_equal(got[0, :pos], np.asarray(out, np.int32))
+
+
 def test_expand3_matches_decode_pipeline():
     """End-to-end vs zlib through the real tokenizer (CPU XLA path)."""
     import zlib

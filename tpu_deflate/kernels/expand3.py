@@ -192,17 +192,56 @@ def _exp3_kernel(
         )
         return jnp.where(Dp > 0, res, P)
 
-    P = rnd(rnd(rnd(P)))
+    def far_pull(P):
+        """Row-uniform long-range pull: a row whose unresolved lanes all
+        source from one <= 3-row region (every interior row of a
+        constant-distance run, for any run length and d <= 256) adopts
+        resolved parent VALUES via 3 row-one-hot MXU gathers.  This makes
+        resolution depth independent of run length — the ladder above
+        only advances DCLAMP bytes per round, so a megabyte zero-run
+        (d=1 matches) would otherwise cost out_cap/DCLAMP rounds."""
+        Dp = P >> 8
+        unres = Dp > 0
+        qq = p - Dp
+        big = jnp.int32(1 << 20)
+        qmn = jnp.min(jnp.where(unres, qq, big), axis=1, keepdims=True)
+        qmx = jnp.max(jnp.where(unres, qq, -1), axis=1, keepdims=True)
+        r0 = jnp.clip(qmn, 0, (R - 1) * 128) >> 7
+        uniform = (qmn >= 0) & (qmx - qmn <= 255)
+        # one bf16-exact plane: resolved value + 1 in [1, 256], 0 = not
+        vp = jnp.where(Dp == 0, (P & 0xFF) + 1, 0).astype(jnp.bfloat16)
+        z1 = jnp.zeros((1, 128), jnp.bfloat16)
+        vps = (vp,
+               jnp.concatenate([vp[1:], z1], 0),
+               jnp.concatenate([vp[2:], z1, z1], 0))
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) == r0
+        ).astype(jnp.bfloat16)
+        rj = (qq >> 7) - r0
+        ql = qq & 127
+        got = jnp.zeros((R, 128), jnp.int32)
+        for j in range(3):
+            w = jnp.dot(oh, vps[j], preferred_element_type=jnp.float32)
+            g = _gather_lanes(w.astype(jnp.int32), ql)
+            got = jnp.where(rj == j, g, got)
+        ok = unres & uniform & (rj >= 0) & (rj <= 2) & (got > 0)
+        return jnp.where(ok, got - 1, P)
+
+    P = rnd(rnd(P))
 
     def cond(c):
         Pc, r = c
         return jnp.any((Pc >> 8) > 0) & (r < jnp.int32(R * 128))
 
     def body(c):
+        # far_pull only every 4th iteration: it wins big on long
+        # constant-distance runs (one round regardless of run length)
+        # but costs ~2 ladder rounds, and mixed text rows never qualify
         Pc, r = c
-        return rnd(Pc), r + 1
+        Pc = jax.lax.cond(r % 8 == 2, far_pull, lambda x: x, Pc)
+        return rnd(rnd(Pc)), r + 2
 
-    P, _ = jax.lax.while_loop(cond, body, (P, jnp.int32(3)))
+    P, _ = jax.lax.while_loop(cond, body, (P, jnp.int32(2)))
 
     out_ref[0] = jnp.where(in_range, P & 0xFF, 0)
 

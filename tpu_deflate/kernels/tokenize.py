@@ -365,34 +365,43 @@ def _k3_kernel(
     )
     end_pos = jnp.where(eob_at >= 0, eob_at + 7, end_bit)
 
-    # ---- compaction: per-source-row one-hot scatter ---------------------
-    wi = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 1)  # lane ids
+    # ---- compaction: transpose-free one-hot scatter ---------------------
+    # acc[r, k] = sum_src ohr[r, src] * v[src] * (rel[src] & 127 == k),
+    # with BOTH one-hots built from lane-major rel (sublane iota compares)
+    # and the contraction over src = lanes of both operands (A @ B^T on
+    # the MXU) — the earlier formulation transposed rel/v to sublanes per
+    # visit, 2 vector transposes x WLK x t64/128 per lane, which
+    # dominated this kernel (~27 of its 37 ms per 8 MiB).
     wrow = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 0)
-    li128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    si128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)  # sublane ids
+    dotT = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     def chunk_body(i, _):
         idx = pl.multiple_of(i * 128, 128)
         slots = sl_scr[:, pl.ds(idx, 128)]  # (WLK, 128) absolute slots
         toks = w_scr[:, pl.ds(idx, 128)]
         row0 = jnp.clip(jnp.min(slots) >> 7, 0, tokrows - wr)
-        acc = jnp.zeros((wr, 128), jnp.float32)
-        acch = jnp.zeros((wr, 128), jnp.float32)
+        accs = [jnp.zeros((wr, 128), jnp.float32) for _ in range(4)]
         for s in range(WLK):
-            rel = slots[s] - row0 * 128
+            rel = (slots[s] - row0 * 128)[None, :]  # (1, 128) lane-major
             ok = (rel >= 0) & (rel < wr * 128)
-            ohr = ((rel[None, :] >> 7) == wrow).astype(jnp.bfloat16) * ok[
-                None, :
-            ].astype(jnp.bfloat16)
+            ohr = ((rel >> 7) == wrow) & ok  # (wr, 128)
+            m1 = si128 == (rel & 127)  # (128k, 128src)
+            m1b = m1.astype(jnp.bfloat16)
             v = jnp.where(ok, toks[s], 0)
-            ohl = ((rel & 127)[:, None] == li128).astype(jnp.bfloat16)
-            p0 = ohl * (v & 0xFF)[:, None].astype(jnp.bfloat16)
-            p1 = ohl * ((v >> 8) & 0xFF)[:, None].astype(jnp.bfloat16)
-            p2 = ohl * ((v >> 16) & 0xFF)[:, None].astype(jnp.bfloat16)
-            p3 = ohl * ((v >> 24) & 0xF)[:, None].astype(jnp.bfloat16)
-            dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-            acc = acc + dot(ohr, p0) + dot(ohr, p1) * 256.0
-            acch = acch + dot(ohr, p2) + dot(ohr, p3) * 256.0
-        paint = acc.astype(jnp.int32) + (acch.astype(jnp.int32) << 16)
+            for j in range(4):
+                vp = ((v >> (8 * j)) & 0xFF).astype(jnp.bfloat16)
+                accs[j] = accs[j] + dotT(ohr.astype(jnp.bfloat16) * vp, m1b)
+        paint = (
+            accs[0].astype(jnp.int32)
+            + (accs[1].astype(jnp.int32) << 8)
+            + (accs[2].astype(jnp.int32) << 16)
+            + (accs[3].astype(jnp.int32) << 24)
+        )
         tok_ref[0, pl.ds(row0, wr), :] = tok_ref[0, pl.ds(row0, wr), :] + paint
         return 0
 
