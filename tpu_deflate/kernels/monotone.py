@@ -44,7 +44,13 @@ WINDOW = 8192 + 128
 WROWS = WINDOW // 128
 
 
-def _kernel(olo_ref, idx_ref, val_ref, out_ref, C: int, nrows_out: int, T: int):
+def _kernel(olo_ref, idx_ref, val_ref, out_ref, C: int, nrows_out: int,
+            wrows: int):
+    """Transpose-free slab paint: both one-hots are built lane-major from
+    each 128-entry sublane row (sublane-iota compares) and contracted
+    src-on-lanes via dot_general A@B^T — no (2048,1) column flattening.
+    The earlier form transposed idx/val columns through one-hot matmuls
+    streaming 2048 rows per slab, which cost as much as the paint."""
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -52,55 +58,35 @@ def _kernel(olo_ref, idx_ref, val_ref, out_ref, C: int, nrows_out: int, T: int):
     def _init():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    row0 = jnp.clip(olo_ref[b, t], 0, nrows_out - WROWS)
-    base = (row0 * 128).astype(jnp.float32)
-    tile_idx = idx_ref[0, pl.ds(t * SLAB_ROWS, SLAB_ROWS), :].astype(jnp.float32)
+    row0 = jnp.clip(olo_ref[b, t], 0, nrows_out - wrows)
+    rel = idx_ref[0, pl.ds(t * SLAB_ROWS, SLAB_ROWS), :] - row0 * 128
 
-    G = SLAB
-    gi = jax.lax.broadcasted_iota(jnp.int32, (G, SLAB_ROWS), 0) >> 7
-    es = (gi == jax.lax.broadcasted_iota(jnp.int32, (G, SLAB_ROWS), 1)).astype(
-        jnp.float32
-    )
-    ci = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 0) & 127
-    maskc = (ci == jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)).astype(
-        jnp.float32
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (wrows, 128), 0)
+    si = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    dotT = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
-    def bdot(a, b_):
-        return jnp.dot(
-            a.astype(jnp.bfloat16),
-            b_.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-
-    def flatten(tile):  # (SLAB_ROWS, 128) f32 in [0, 2^16) -> (G, 1)
-        hi = jnp.floor(tile * (1.0 / 256.0))
-        lo = tile - hi * 256.0
-        return (
-            jnp.sum(bdot(es, hi) * maskc, axis=1, keepdims=True) * 256.0
-            + jnp.sum(bdot(es, lo) * maskc, axis=1, keepdims=True)
-        )
-
-    # window-relative targets; anything outside [0, WINDOW) drops out
-    rel = flatten(jnp.clip(tile_idx - base, 0.0, float(WINDOW)))
-    rrow = jnp.floor(rel * (1.0 / 128.0))
-    rlane = rel - rrow * 128.0
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (WROWS, G), 0).astype(jnp.float32)
-    oh_rT = (rrow.T == wiota).astype(jnp.float32)  # (WROWS, G)
-    liota = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1).astype(jnp.float32)
-    oh_l = (rlane == liota).astype(jnp.float32)  # (G, 128)
-    inw = (rel >= 0.0) & (rel < float(WINDOW))
-    oh_l = oh_l * inw.astype(jnp.float32)
-
+    accs = [jnp.zeros((wrows, 128), jnp.float32) for _ in range(2 * C)]
+    for er in range(SLAB_ROWS):
+        r = rel[er : er + 1]  # (1, 128) lane-major
+        ok = (r >= 0) & (r < wrows * 128)
+        ohr = (((r >> 7) == wiota) & ok).astype(jnp.bfloat16)
+        m1 = (si == (r & 127)).astype(jnp.bfloat16)  # (128dst, 128src)
+        for c in range(C):
+            v = val_ref[0, c, pl.ds(t * SLAB_ROWS + er, 1), :]
+            vl = (v & 0xFF).astype(jnp.bfloat16)
+            vh = ((v >> 8) & 0xFF).astype(jnp.bfloat16)
+            accs[2 * c] = accs[2 * c] + dotT(ohr * vl, m1)
+            accs[2 * c + 1] = accs[2 * c + 1] + dotT(ohr * vh, m1)
     for c in range(C):
-        vcol = flatten(val_ref[0, c, pl.ds(t * SLAB_ROWS, SLAB_ROWS), :].astype(jnp.float32))
-        vh = jnp.floor(vcol * (1.0 / 256.0))
-        vl = vcol - vh * 256.0
-        paint = (
-            bdot(oh_rT, oh_l * vh) * 256.0 + bdot(oh_rT, oh_l * vl)
-        )  # (WROWS, 128)
-        cur = out_ref[0, c, pl.ds(row0, WROWS), :]
-        out_ref[0, c, pl.ds(row0, WROWS), :] = cur + paint.astype(jnp.int32)
+        paint = accs[2 * c].astype(jnp.int32) + (
+            accs[2 * c + 1].astype(jnp.int32) << 8
+        )
+        cur = out_ref[0, c, pl.ds(row0, wrows), :]
+        out_ref[0, c, pl.ds(row0, wrows), :] = cur + paint
 
 
 def mono_scatter_add_xla(idx, vals, size):
@@ -121,28 +107,31 @@ def mono_scatter_add_xla(idx, vals, size):
     return f(idx, vals, size)
 
 
-def mono_scatter_add(idx: jax.Array, vals: jax.Array, size: int) -> jax.Array:
+def mono_scatter_add(idx: jax.Array, vals: jax.Array, size: int,
+                     emax_bits: int = 32) -> jax.Array:
     """Monotone scatter-add: out[..., c, j] = sum over idx[...]==j of vals.
 
     idx: int32[B, K] nondecreasing (K % 2048 == 0); vals: int32[B, C, K]
     with per-channel values < 2^16; size: output length (padded
-    internally to rows of 128 plus window slack).  Requires
-    idx[e+2048]-idx[e] <= 8192.  Returns int32[B, C, size].
+    internally to rows of 128 plus window slack).  emax_bits bounds the
+    per-entry index advance (idx[e+1]-idx[e] <= emax_bits/8 bytes), which
+    sizes each slab's output window.  Returns int32[B, C, size].
     """
     on_tpu = jax.devices()[0].platform == "tpu"
     B, K = idx.shape
     C = vals.shape[1]
+    wrows = -(-(-(-(SLAB * emax_bits // 8) // 128) + 2) // 8) * 8
     # VMEM budget: per-lane blocks are idx (4K) + vals (4CK) + out (4C*size)
-    vmem_bytes = 4 * K * (1 + C) + 4 * C * (-(-size // 128) + WROWS) * 128
+    vmem_bytes = 4 * K * (1 + C) + 4 * C * (-(-size // 128) + wrows) * 128
     if (not on_tpu) or K % SLAB != 0 or vmem_bytes > (12 << 20):
         return mono_scatter_add_xla(idx, vals, size)
 
     T = K // SLAB
-    nrows = -(-size // 128) + WROWS
-    olo = jnp.clip(idx[:, ::SLAB] >> 7, 0, nrows - WROWS)  # (B, T)
+    nrows = -(-size // 128) + wrows
+    olo = jnp.clip(idx[:, ::SLAB] >> 7, 0, nrows - wrows)  # (B, T)
     idx3 = idx.reshape(B, K // 128, 128)
     val4 = vals.reshape(B, C, K // 128, 128)
-    kern = functools.partial(_kernel, C=C, nrows_out=nrows, T=T)
+    kern = functools.partial(_kernel, C=C, nrows_out=nrows, wrows=wrows)
     out = pl.pallas_call(
         kern,
         grid=(B, T),

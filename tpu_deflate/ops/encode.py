@@ -861,8 +861,17 @@ def _encode_emissions(
     e12_val = e1_val | (e2_val << e1_nb)
     e12_nb = e1_nb + e2_nb
 
-    vals = jnp.stack([e0_val, e12_val], axis=1).reshape(-1)
-    nbs = jnp.stack([e0_nb, e12_nb], axis=1).reshape(-1)
+    if dynamic_encode:
+        # dynamic codes can reach 15 bits each; two slots per position
+        vals = jnp.stack([e0_val, e12_val], axis=1).reshape(-1)
+        nbs = jnp.stack([e0_nb, e12_nb], axis=1).reshape(-1)
+    else:
+        # static trees: e0 <= 13 bits (8-bit length code + 5 extras) and
+        # e12 <= 18 (5-bit distance code + 13 extras), so one merged
+        # <= 31-bit slot per position — HALVES the batched pack's entry
+        # count (the MXU scatter's cost is per-entry weight loads)
+        vals = e0_val | (e12_val << e0_nb)
+        nbs = e0_nb + e12_nb
 
     # --- bit offsets: 3-bit header + [dyn header] + tokens + EOB --------
     hdr_val3 = jnp.where(final, jnp.int32(1), jnp.int32(0)) | (btype << 1)
@@ -1060,10 +1069,17 @@ def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateCo
         vals, nbs, offs, total_bits, ntok = jax.vmap(f)(data, lengths, finals)
 
     live = nbs > 0
-    # emission values are <= 28 bits (codes + merged distance extras); the
-    # bit-shifted contribution reaches 35 bits, decomposed into THREE
-    # 16-bit channels at bytes j, j+2, j+4 with int32-safe shift algebra.
-    # Fewer, wider channels halve the MXU paint work vs 8-bit bytes.
+    # per-config max emission width picks the channel count: a value of
+    # emax bits shifted by <= 7 spans ceil((emax+7)/16) 16-bit channels
+    # at bytes j, j+2, j+4.  win256/m10 static merges to <= 20 bits ->
+    # TWO channels (vs three), a third off the MXU paint work.
+    if config.dynamic_encode:
+        emax = 28
+    elif config.window <= 256 and config.max_match <= 18:
+        emax = 20
+    else:
+        emax = 31
+    nch = -(-(emax + 7) // 16)
     s = offs & 7
     byte_idx = offs >> 3
     K = vals.shape[1]
@@ -1074,15 +1090,16 @@ def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateCo
     c1 = (vals >> (16 - s)) & 0xFFFF
     c2 = (vals >> 16) >> (16 - s)
     ch = jnp.stack(
-        [jnp.where(live, c, 0) for c in (c0, c1, c2)], axis=1
-    )  # (B, 3, K)
+        [jnp.where(live, c, 0) for c in (c0, c1, c2)[:nch]], axis=1
+    )  # (B, nch, K)
     ch = jnp.pad(ch, ((0, 0), (0, 0), (0, pad)))
-    packed = mono_scatter_add(byte_idx, ch, M + 8)  # (B, 3, M+8)
+    packed = mono_scatter_add(byte_idx, ch, M + 8, emax_bits=emax)
     # bit-disjointness of emissions makes every byte sum carry-free
     out = (packed[:, 0, :M] & 0xFF) + jnp.pad(
         (packed[:, 0, : M - 1] >> 8) & 0xFF, ((0, 0), (1, 0))
     )
-    for c, disp in ((1, 2), (2, 4)):
+    for c in range(1, nch):
+        disp = 2 * c
         out = out + jnp.pad(packed[:, c, : M - disp] & 0xFF, ((0, 0), (disp, 0)))
         out = out + jnp.pad(
             (packed[:, c, : M - disp - 1] >> 8) & 0xFF, ((0, 0), (disp + 1, 0))
