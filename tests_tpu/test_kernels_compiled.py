@@ -95,6 +95,47 @@ def test_decode_rows_batch_compiled(rng):
     assert got.tobytes() == raw
 
 
+def test_bench_shape_encode_decode_compiled(rng):
+    """Compile-and-run at the EXACT bench shape (B=128 x 64 KiB,
+    win256/m10) — the round-2 regression class: kernels that compile at
+    toy shapes but blow the 16 MB scoped-VMEM budget at production shape
+    (match2 r2 layout died here with a 576 KB deficit, BENCH_r02.json).
+    """
+    import functools
+
+    from tpu_deflate.config import DeflateConfig
+    from tpu_deflate.ops.decode import decode_rows_batch
+    from tpu_deflate.ops.encode import encode_blocks_batch
+
+    chunk = 1 << 16
+    B = 128
+    rng2 = np.random.default_rng(42)
+    text = (b"bench-shape lane: the quick brown fox %d " * 2000)
+    raw = (text + rng2.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes())
+    while len(raw) < B * chunk:
+        raw += raw
+    raw = raw[: B * chunk]
+    data = np.frombuffer(raw, np.uint8).reshape(B, chunk)
+    cfg = DeflateConfig(window=256, max_match=10, chunk_size=chunk)
+    finals = np.zeros(B, bool)
+    finals[-1] = True  # BFINAL on the last chunk, exactly like bench.py
+    out, sizes, _ = jax.jit(
+        functools.partial(encode_blocks_batch, config=cfg)
+    )(jnp.asarray(data), jnp.asarray(np.full(B, chunk, np.int32)),
+      jnp.asarray(finals))
+    sizes_h = np.asarray(sizes)
+    out_h = np.asarray(out)
+    body = b"".join(out_h[i, : sizes_h[i]].tobytes() for i in range(B))
+    stream = b"\x78\x9c" + body + zlib.adler32(raw).to_bytes(4, "big")
+    assert zlib.decompress(stream) == raw
+    # decode at out_cap 2^16 with the full batch (fused tokenizer lane)
+    o, totals, errs = decode_rows_batch(
+        out, (8 * sizes).astype(jnp.int32), out_cap=chunk,
+        tok_cap=chunk + 16, static_only=True)
+    assert (np.asarray(errs) == 0).all()
+    assert np.asarray(o).reshape(-1)[: B * chunk].tobytes() == raw
+
+
 def test_expand2_wide_window_compiled(rng):
     """Far back-references select the 32 KB-window kernel variant."""
     from tpu_deflate.config import DeflateConfig

@@ -17,6 +17,26 @@ Quick start::
     comp = tpu_deflate.compress(data, cfg)
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: first compiles through the TPU tunnel
+# run 30s-10min; the cache makes every later process start warm.  Opt out
+# with TPU_DEFLATE_NO_COMPILE_CACHE=1 or override via the standard
+# JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("TPU_DEFLATE_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/tpu_deflate_xla"),
+    )
+    try:
+        import jax as _jax
+
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from tpu_deflate.api import (
     StreamCompressor,
     compress,

@@ -50,9 +50,23 @@ def _match2_kernel(n_ref, ext_ref, dl_ref, ch_ref, *, window: int,
     ext = ext_ref[0]  # (LANES, L) int32 byte values (-1 pads)
     key = ext[:, halo : halo + E]
 
-    # bitplane channels live in an explicit scratch so the compiler's
-    # stack allocator doesn't keep every channel live as an SSA value
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, seg), 0) * seg
+        + jax.lax.broadcasted_iota(jnp.int32, (LANES, seg), 1)
+    )
+    posok = pos + 3 <= n
+
+    # ONE 32-distance channel is live at a time: build its bitplane, pick
+    # the newly-found seeds (channels ascend in distance, so earlier
+    # channels win = nearest-match priority), and run the extension ladder
+    # for exactly those positions before moving on.  Keeping all channels
+    # resident (r2 layout: an (nch*LANES, E) scratch + per-phase passes)
+    # blew the 16 MB scoped-VMEM budget at the bench shape — this form
+    # peaks at one channel plane plus the accumulators.
     nch = (window + 31) // 32
+    best_d = jnp.zeros((LANES, seg), jnp.int32)
+    found = jnp.zeros((LANES, seg), bool)
+    length = jnp.zeros((LANES, seg), jnp.int32)
     for c in range(nch):
         lo_d = 32 * c + 1
         hi_d = min(32 * c + 32, window)
@@ -65,43 +79,29 @@ def _match2_kernel(n_ref, ext_ref, dl_ref, ch_ref, *, window: int,
             eqb = (key == rolled).astype(jnp.uint32)
             return ch | (eqb << ((d - 1) & 31))
 
-        ch_ref[pl.ds(c * LANES, LANES), :] = jax.lax.fori_loop(
+        ch_ref[...] = jax.lax.fori_loop(
             0, hi_d - lo_d + 1, body, jnp.zeros((LANES, E), jnp.uint32)
         )
-
-    # 3-byte seeds; nearest distance = least set bit, channels ascending
-    best_d = jnp.zeros((LANES, seg), jnp.int32)
-    found = jnp.zeros((LANES, seg), bool)
-    for c in range(nch):
-        chc = ch_ref[pl.ds(c * LANES, LANES), :]
+        chc = ch_ref[...]
+        # 3-byte seeds; nearest distance = least set bit within the channel
         mc = chc[:, :seg] & chc[:, 1 : seg + 1] & chc[:, 2 : seg + 2]
         lsb = mc & (~mc + jnp.uint32(1))
         k = (31 - jax.lax.clz(lsb)).astype(jnp.int32)
-        has = mc != 0
-        best_d = jnp.where(~found & has, 32 * c + k + 1, best_d)
-        found = found | has
-
-    pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (LANES, seg), 0) * seg
-        + jax.lax.broadcasted_iota(jnp.int32, (LANES, seg), 1)
-    )
-    has = found & (pos + 3 <= n) & (best_d <= pos)
-    bd1 = jnp.where(has, best_d - 1, 0)
-    cidx = bd1 >> 5
-    bit = (bd1 & 31).astype(jnp.uint32)
-    # extension ladder, channel-major: every position's whole ladder lives
-    # in ONE channel, so per channel the chain of slice-AND steps is
-    # ephemeral (keeping per-k accumulator planes across channels blew the
-    # Mosaic stack budget)
-    length = jnp.zeros((LANES, seg), jnp.int32)
-    for c in range(nch):
-        chc = ch_ref[pl.ds(c * LANES, LANES), :]
-        alive_c = has & (cidx == c)
+        has_c = mc != 0
+        new = ~found & has_c
+        d_c = 32 * c + k + 1
+        best_d = jnp.where(new, d_c, best_d)
+        found = found | has_c
+        # extension ladder for this channel's winners (bit index == k)
+        bit = jnp.where(new, k, 0).astype(jnp.uint32)
+        alive = new & posok & (d_c <= pos)
         len_c = jnp.zeros((LANES, seg), jnp.int32)
-        for k in range(3, max_match):
-            alive_c = alive_c & (((chc[:, k : seg + k] >> bit) & 1) == 1)
-            len_c = len_c + alive_c.astype(jnp.int32)
+        for kk in range(3, max_match):
+            alive = alive & (((chc[:, kk : seg + kk] >> bit) & 1) == 1)
+            len_c = len_c + alive.astype(jnp.int32)
         length = length + len_c
+
+    has = found & posok & (best_d <= pos)
     length = jnp.where(has, 3 + length, 0)
     length = jnp.minimum(length, jnp.maximum(n - pos, 0))
     # one packed output (dist 9b | len 9b) halves the VMEM output buffers
@@ -150,14 +150,13 @@ def match_bitplane_batch(
         (1, LANES, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
     )
     ospec = pl.BlockSpec((1, LANES, seg), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    nch = (window + 31) // 32
     dl = pl.pallas_call(
         kern,
         grid=(B,),
         out_shape=jax.ShapeDtypeStruct((B, LANES, seg), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
         out_specs=ospec,
-        scratch_shapes=[pltpu.VMEM((nch * LANES, E), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((LANES, E), jnp.uint32)],
         interpret=interpret,
     )(n.astype(jnp.int32), ext)
     dl = dl.reshape(B, N)
