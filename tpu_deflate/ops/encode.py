@@ -379,13 +379,6 @@ def _greedy_parse_chase(length: jax.Array, n) -> jax.Array:
     return reach & (idx < n)
 
 
-def _bucket_arith(v: jax.Array, bases: jax.Array) -> jax.Array:
-    """sym = #(bases <= v) - 1 for a sorted base table (broadcast compare,
-    no gather).  Replaces the reference's 1-slot-per-cycle CopyDistance
-    scan (deflate.py:848-860)."""
-    return jnp.sum((v[:, None] >= bases[None, :]).astype(jnp.int32), axis=-1) - 1
-
-
 def _select_meta(meta: jax.Array, idx: jax.Array) -> jax.Array:
     """meta[idx] by one-hot multiply-reduce over a small table."""
     k = jnp.arange(meta.shape[0], dtype=jnp.int32)
@@ -686,36 +679,56 @@ def _encode_emissions(
     is_match = start & (length >= 3)
     is_lit = start & ~(length >= 3)
 
-    # --- stage 4: per-token emissions (gather-free: bucket arithmetic +
-    # one-hot reduces replace every per-position table lookup, including
-    # the reference's CopyDistance linear scan, deflate.py:848-860) ------
-    lit_code = jnp.asarray(T.STATIC_LITLEN_CODES_REV)
-    lit_len = jnp.asarray(T.STATIC_LITLEN_LENGTHS)
-    dist_code = jnp.asarray(T.STATIC_DIST_CODES_REV)
-    len_base_tab = jnp.asarray(T.LENGTH_BASE)  # (29,) sorted
-    len_ebits = jnp.asarray(T.LENGTH_EXTRA_BITS)
-    dist_base_tab = jnp.asarray(T.DIST_BASE)  # (30,) sorted
-    dist_ebits = jnp.asarray(T.DIST_EXTRA_BITS)
-
+    # --- stage 4: per-token emissions, CLOSED FORM.  The RFC 1951 length/
+    # distance bucket tables and the static Huffman code are piecewise
+    # affine in log2 (the decode side already exploits this,
+    # decode._candidate_plane_static); arithmetic replaces every broadcast
+    # one-hot/bucket select — including the reference's CopyDistance
+    # linear scan (deflate.py:848-860) — with ~10 vector ops each. -------
     ln = jnp.clip(length, 0, 258)
-    lsym = jnp.clip(_bucket_arith(ln, len_base_tab), 0, 28)  # 0..28
+    l3 = jnp.clip(ln - 3, 0, 255)
+    msbl = 31 - jax.lax.clz(jnp.maximum(l3, 1))  # floor(log2 l3)
+    lsym = jnp.where(
+        l3 < 8, l3, 4 * (msbl - 1) + ((l3 >> jnp.maximum(msbl - 2, 0)) & 3)
+    )
+    lsym = jnp.where(ln >= 258, 28, lsym)  # length 258 = symbol 285 exactly
+    lebits = jnp.where(lsym == 28, 0, jnp.clip((lsym >> 2) - 1, 0, 5))
+    lbase = jnp.where(lsym < 8, lsym + 3, ((4 + (lsym & 3)) << lebits) + 3)
+    lbase = jnp.where(lsym == 28, 258, lbase)
     lit_sym = b
     litlen_sym = jnp.where(is_lit, lit_sym, 257 + lsym)  # per-token lit/len symbol
-    d = jnp.clip(dist, 0, 32768)
-    dsym = jnp.clip(_bucket_arith(d, dist_base_tab), 0, 29)
-    lbase = jnp.max(
-        jnp.where(ln[:, None] >= len_base_tab[None, :], len_base_tab[None, :], 0),
-        axis=-1,
-    )
-    dbase = jnp.max(
-        jnp.where(d[:, None] >= dist_base_tab[None, :], dist_base_tab[None, :], 0),
-        axis=-1,
-    )
 
-    # --- static-tree code tables ----------------------------------------
-    s_lit_code, s_lit_len = lit_code, lit_len
-    s_dist_code = dist_code
+    d = jnp.clip(dist, 0, 32768)
+    v1 = jnp.clip(d - 1, 0, 32767)
+    msbd = 31 - jax.lax.clz(jnp.maximum(v1, 1))
+    dsym = jnp.where(
+        v1 < 4, v1, 2 * msbd + ((v1 >> jnp.maximum(msbd - 1, 0)) & 1)
+    )
+    debits_v = jnp.clip((dsym >> 1) - 1, 0, 13)
+    dbase = jnp.where(dsym < 2, dsym + 1, ((2 + (dsym & 1)) << debits_v) + 1)
+
+    # --- static-tree code tables (dynamic_encode still selects from its
+    # per-chunk tables; the static path is fully arithmetic below) -------
+    s_lit_code = jnp.asarray(T.STATIC_LITLEN_CODES_REV)
+    s_lit_len = jnp.asarray(T.STATIC_LITLEN_LENGTHS)
+    s_dist_code = jnp.asarray(T.STATIC_DIST_CODES_REV)
     s_dist_len = jnp.full((32,), 5, jnp.int32)
+    dist_ebits = jnp.asarray(T.DIST_EXTRA_BITS)
+
+    # static lit/len code, closed form (RFC 1951 3.2.6): 4 affine ranges
+    sym_ = litlen_sym
+    s_nb = jnp.where(
+        sym_ < 144, 8, jnp.where(sym_ < 256, 9, jnp.where(sym_ < 280, 7, 8))
+    )
+    s_code = jnp.where(
+        sym_ < 144,
+        0x30 + sym_,
+        jnp.where(
+            sym_ < 256,
+            0x190 + (sym_ - 144),
+            jnp.where(sym_ < 280, sym_ - 256, 0xC0 + (sym_ - 280)),
+        ),
+    )
 
     if dynamic_encode:
         # ---- per-chunk dynamic Huffman trees (encoder-side; a capability
@@ -784,13 +797,12 @@ def _encode_emissions(
         dyn_hdr_bits = jnp.sum(hdr_nbs_dyn)
 
         # ---- choose static vs dynamic by exact bit count --------------
-        lebits_sel = _select_meta(len_ebits, lsym)
-        debits_sel = _select_meta(jnp.pad(dist_ebits, (0, 2)), dsym)
+        lebits_sel = lebits
+        debits_sel = debits_v
         tok_bits_static = jnp.sum(
             jnp.where(
                 start,
-                _select_meta(s_lit_len, litlen_sym)
-                + jnp.where(is_match, lebits_sel + 5 + debits_sel, 0),
+                s_nb + jnp.where(is_match, lebits_sel + 5 + debits_sel, 0),
                 0,
             )
         ) + 7  # static EOB
@@ -827,35 +839,51 @@ def _encode_emissions(
         btype = jnp.where(use_dyn, jnp.int32(2), jnp.int32(1))
         eob_val = jnp.where(use_dyn, dyn_lit_code[256], 0)
         eob_nb = jnp.where(use_dyn, dyn_lit_len[256], 7)
+
+        # emission 0: literal code OR length code + length extra bits
+        lit_meta = (lit_len_eff << 16) | lit_code_eff  # len(<=15)|code(15b)
+        lm = _select_meta(lit_meta, litlen_sym)
+        e0_code = lm & 0xFFFF
+        e0_clen = lm >> 16
+        e0_extra = jnp.where(is_match, ln - lbase, 0)
+        e0_ebits = jnp.where(is_match, lebits, 0)
+        e0_val = e0_code | (e0_extra << e0_clen)
+        e0_nb = jnp.where(start, e0_clen + e0_ebits, 0)
+        # emissions 1+2: distance code, then distance extra bits
+        dist_meta = (
+            (jnp.pad(dist_ebits, (0, 2)) << 20)
+            | (dist_len_eff << 16)
+            | dist_code_eff
+        )  # (32,) ebits(4)|len(4)|code(15b)
+        dm = _select_meta(dist_meta, dsym)
+        e1_val = jnp.where(is_match, dm & 0xFFFF, 0)
+        e1_nb = jnp.where(is_match, (dm >> 16) & 0xF, 0)
+        e2_val = jnp.where(is_match, d - dbase, 0)
+        e2_nb = jnp.where(is_match, dm >> 20, 0)
     else:
-        lit_code_eff, lit_len_eff = s_lit_code, s_lit_len
-        dist_code_eff, dist_len_eff = s_dist_code, s_dist_len
         hdr_vals = jnp.zeros((0,), jnp.int32)
         hdr_nbs = jnp.zeros((0,), jnp.int32)
         btype = jnp.int32(1)
         eob_val = jnp.int32(0)
         eob_nb = jnp.int32(7)
 
-    # emission 0: literal code OR length code + length extra bits
-    lit_meta = (lit_len_eff << 16) | lit_code_eff  # (288,) len(<=15)|code(<=15b)
-    lm = _select_meta(lit_meta, litlen_sym)
-    e0_code = lm & 0xFFFF
-    e0_clen = lm >> 16
-    e0_extra = jnp.where(is_match, ln - lbase, 0)
-    e0_ebits = jnp.where(is_match, _select_meta(len_ebits, lsym), 0)
-    e0_val = e0_code | (e0_extra << e0_clen)
-    e0_nb = jnp.where(start, e0_clen + e0_ebits, 0)
-    # emissions 1+2: distance code, then distance extra bits
-    dist_meta = (
-        (jnp.pad(dist_ebits, (0, 2)) << 20)
-        | (dist_len_eff << 16)
-        | dist_code_eff
-    )  # (32,) ebits(4)|len(4)|code(15b)
-    dm = _select_meta(dist_meta, dsym)
-    e1_val = jnp.where(is_match, dm & 0xFFFF, 0)
-    e1_nb = jnp.where(is_match, (dm >> 16) & 0xF, 0)
-    e2_val = jnp.where(is_match, d - dbase, 0)
-    e2_nb = jnp.where(is_match, dm >> 20, 0)
+        # fully arithmetic static emissions: code/length from the closed
+        # form above, bit-reversed on the wire; 5-bit reversed dist code
+        e0_code = _revbits_vec(s_code, s_nb)
+        e0_clen = s_nb
+        e0_extra = jnp.where(is_match, ln - lbase, 0)
+        e0_ebits = jnp.where(is_match, lebits, 0)
+        e0_val = e0_code | (e0_extra << e0_clen)
+        e0_nb = jnp.where(start, e0_clen + e0_ebits, 0)
+        rev5 = (
+            ((dsym & 1) << 4) | ((dsym & 2) << 2) | (dsym & 4)
+            | ((dsym >> 2) & 2) | (dsym >> 4)
+        )
+        e1_val = jnp.where(is_match, rev5, 0)
+        e1_nb = jnp.where(is_match, 5, 0)
+        e2_val = jnp.where(is_match, d - dbase, 0)
+        e2_nb = jnp.where(is_match, debits_v, 0)
+
     # distance code + distance extra merged: <= 15 + 13 = 28 bits, so the
     # batched pack sees 2 emissions per position instead of 3
     e12_val = e1_val | (e2_val << e1_nb)
