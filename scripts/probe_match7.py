@@ -19,19 +19,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("PCPU"):
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-B, N = 128, 65536
+B, N = int(os.environ.get("PB", 128)), int(os.environ.get("PN", 65536))
 seg = N // LANES          # 512
 segW = seg // 4           # 128
 window, max_match = int(os.environ.get("PW", 256)), 10
-E = -(-(seg + max_match) // 128) * 128    # 640
+E = -(-(seg + max_match) // 512) * 512    # word planes lane-aligned
 EW = E // 4                               # 160
-L = -(-(window + E) // 128) * 128         # 896
+L = -(-(window + E) // 512) * 512         # word rows lane-aligned
 PV = L // 4                               # 224
 halo = window
 HW = halo // 4                            # 64
@@ -73,7 +76,7 @@ def kern_v0(n_ref, ext_ref, dl_ref, ch_ref):
     best_d = jnp.zeros((LANES, seg), jnp.int32)
     found = jnp.zeros((LANES, seg), bool)
     length = jnp.zeros((LANES, seg), jnp.int32)
-    for c in range(8):
+    for c in range(window // 32 if window >= 32 else 1):
         def body(t, ch):
             d = 32 * c + 1 + t
             rolled = pltpu.roll(ext, d, 1)[:, halo : halo + E]
@@ -134,11 +137,12 @@ def kern_v7(n_ref, w_ref, dl_ref):
     found = [jnp.zeros((LANES, EW), bool) for _ in range(4)]
     length = [jnp.zeros((LANES, EW), jnp.int32) for _ in range(4)]
 
+    lanei0 = jax.lax.broadcasted_iota(jnp.int32, (LANES, EW), 1)
+
     def shift_words(x, k):
         if k == 0:
             return x
-        return jnp.concatenate(
-            [x[:, k:], jnp.zeros((LANES, k), jnp.uint32)], axis=1)
+        return jnp.where(lanei0 < EW - k, pltpu.roll(x, EW - k, 1), jnp.uint32(0))
 
     for g in range(NG):
         pg = jnp.zeros((LANES, EW), jnp.uint32)
@@ -154,10 +158,12 @@ def kern_v7(n_ref, w_ref, dl_ref):
             zb = u & ~z & H8  # bit 8c+7 = byte c equal
             pg = pg | ((zb >> 7) << t)
 
-        pgn = jnp.concatenate(
-            [pg[:, 1:], jnp.zeros((LANES, 1), jnp.uint32)], axis=1)
+        lanei = jax.lax.broadcasted_iota(jnp.int32, (LANES, EW), 1)
+        pgn = jnp.where(lanei < EW - 1, pltpu.roll(pg, EW - 1, 1), jnp.uint32(0))
         s1 = (pg >> 8) | (pgn << 24)
-        s2 = (pg >> 16) | (pgn << 16)
+        # (a>>16)|(b<<16) miscompiles on Mosaic (half-word pack
+        # idiom drops the b term); multiply breaks the pattern
+        s2 = (pg >> 16) | (pgn * jnp.uint32(1 << 16))
         seed = pg & s1 & s2
 
         # shifted eq planes for the extension ladder: byte j, word shift w
@@ -210,6 +216,8 @@ def pack_streams(ext):
 
 
 def main():
+    global INTERP
+    INTERP = jax.default_backend() != "tpu"
     log("device:", jax.devices()[0])
     rng = np.random.default_rng(1)
     ext_np = rng.integers(0, 8, (B, LANES, L), dtype=np.int32)
@@ -221,7 +229,7 @@ def main():
     nn = jnp.full((B,), N, jnp.int32)
 
     f0 = jax.jit(lambda nv, e: pl.pallas_call(
-        kern_v0, grid=(B,),
+        kern_v0, grid=(B,), interpret=INTERP,
         out_shape=jax.ShapeDtypeStruct((B, LANES, seg), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, LANES, L), lambda i: (i, 0, 0),
@@ -237,7 +245,7 @@ def main():
     def run7(nv, e):
         Wst = pack_streams(e)
         dl4 = pl.pallas_call(
-            kern_v7, grid=(B,),
+            kern_v7, grid=(B,), interpret=INTERP,
             out_shape=jax.ShapeDtypeStruct((B, 4, LANES, segW), jnp.int32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec((1, 4, LANES, PV), lambda i: (i, 0, 0, 0),
@@ -260,6 +268,15 @@ def main():
             i = tuple(x[0] for x in neq)
             log("first mismatch at", i, "got", out[i], "want", ref[i],
                 f"({(out != ref).sum()} total)")
+            m = out != ref
+            wd, gd = ref[m] >> 9, out[m] >> 9
+            wl, gl = ref[m] & 511, out[m] & 511
+            import collections
+            log("want-d:", collections.Counter(wd.tolist()).most_common(8))
+            log("got-d:", collections.Counter(gd.tolist()).most_common(8))
+            log("pos%4:", collections.Counter((np.nonzero(m)[2] % 4).tolist()))
+            log("want-l:", collections.Counter(wl.tolist()).most_common(6))
+            log("got-l:", collections.Counter(gl.tolist()).most_common(6))
     except Exception as e:
         log(f"v7 FAIL {type(e).__name__}: {str(e)[:200]}")
 
