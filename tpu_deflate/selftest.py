@@ -80,6 +80,39 @@ def run_selftest(config: DeflateConfig | None = None, verbose: bool = True) -> b
         report(
             "dynamic stream round-trips", zlib_decompress(dyn_comp) == data
         )
+        # FAST preset (window=32), the reference's 0x2a config
+        # (test_deflate.py:547): pinned exactly for our bench corpus.
+        fast_cfg = DeflateConfig(fast=True, window=32, chunk_size=4096)
+        fast_comp = api.compress(data, fast_cfg)
+        report(
+            "exact compressed size (FAST, win32)",
+            len(fast_comp) == 0x21B,
+            f"({len(fast_comp):#x} == 0x21b)",
+        )
+        report(
+            "FAST stream round-trips", zlib_decompress(fast_comp) == data
+        )
+        # LOWLUT preset: decompress-only, static-tree, one block
+        # (reference deflate.py:21,43-47) — decode a golden one-block
+        # static stream of pinned size and byte-compare the output.
+        lowlut_cfg = DeflateConfig(
+            compress=False, decompress=True, dynamic=False, match10=False,
+            fast=False, one_block=True, low_lut=True, max_match=258,
+        )
+        golden_1blk = zlib_compress(
+            data,
+            DeflateConfig(window=256, max_match=10, chunk_size=1 << 20,
+                          one_block=True),
+        )
+        report(
+            "LOWLUT golden stream size pinned",
+            len(golden_1blk) == 0x234,
+            f"({len(golden_1blk):#x} == 0x234)",
+        )
+        report(
+            "LOWLUT decode of one-block static stream",
+            api.decompress(golden_1blk, lowlut_cfg) == data,
+        )
     else:
         # custom config: fall back to the loose regression bound
         report("compressed-size bound", len(comp) <= len(data) // 3,
