@@ -130,7 +130,10 @@ def kern_v8(n_ref, w_ref, dl_ref, st_ref):
 
         pgn = jnp.concatenate(
             [pg[:, 1:], jnp.zeros((LANES, 1), jnp.uint32)], axis=1)
-        seed = pg & ((pg >> 8) | (pgn << 24)) & ((pg >> 16) | (pgn << 16))
+        # (a>>16)|(b<<16) miscompiles on Mosaic (half-word funnel idiom
+        # drops the b term, see probe_match9); multiply breaks the pattern
+        seed = (pg & ((pg >> 8) | (pgn * jnp.uint32(1 << 24)))
+                & ((pg >> 16) | (pgn * jnp.uint32(1 << 16))))
 
         eqB = [(pg >> (8 * j)) & jnp.uint32(0xFF) for j in range(4)]
         eqBs = {}
