@@ -17,7 +17,15 @@ text/code/binary mix; sha256-pinned).  Fields:
   roofline_frac         decode_gbps / ~819 GB/s v5e HBM bandwidth
 
 Env: BENCH_MB (default 8), BENCH_REPS (default 3), BENCH_FAST=1 skips
-the slower secondary metrics.
+the slower secondary metrics, BENCH_BUDGET_S (default 480) is a wall
+clock budget — secondary stages are skipped once exceeded.
+
+The driver contract is "ONE JSON line", but driver runs have died to
+tunnel-compile stalls (BENCH_r03: rc=124 before any output).  Defense in
+depth: the current result JSON is RE-printed after every completed stage,
+so a timeout kill still leaves the most recent complete line on stdout;
+the last line printed is always the most complete (the reference's L6
+equivalent always completes, /root/reference/Makefile:15-17).
 """
 
 from __future__ import annotations
@@ -75,6 +83,16 @@ def main():
     from tpu_deflate.config import DeflateConfig
     from tpu_deflate.ops.decode import decode_rows_batch
     from tpu_deflate.ops.encode import encode_blocks_batch
+
+    wall0 = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+    def over_budget(stage):
+        spent = time.perf_counter() - wall0
+        if spent > budget:
+            log(f"budget: skipping {stage} ({spent:.0f}s > {budget:.0f}s)")
+            return True
+        return False
 
     size = int(os.environ.get("BENCH_MB", "8")) << 20
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -137,12 +155,14 @@ def main():
         log(f"decode stage failed: {type(e).__name__}: {e}")
         result["decode_gbps"] = None
 
-    if fast:
-        print(json.dumps(result))
+    print(json.dumps(result), flush=True)  # headline lands even if a
+    if fast:                               # later stage stalls the process
         return
 
     # ---------------- dynamic-tree encode + decode ---------------------
     try:
+        if over_budget("dynamic stage"):
+            raise TimeoutError("budget")
         dyn_cfg = DeflateConfig(window=256, max_match=10, chunk_size=chunk,
                                 dynamic_encode=True)
         encd = jax.jit(functools.partial(encode_blocks_batch, config=dyn_cfg))
@@ -167,9 +187,12 @@ def main():
     except Exception as e:
         log(f"dynamic stage failed: {type(e).__name__}: {e}")
         result["decode_dynamic_gbps"] = None
+    print(json.dumps(result), flush=True)
 
     # ---------------- full-window encode -------------------------------
     try:
+        if over_budget("full-window stage"):
+            raise TimeoutError("budget")
         fw_mb = min(size, 2 << 20)  # the sort matcher is O(N log N)-heavy
         fw_cfg = DeflateConfig(window=32768, max_match=258, lazy=True,
                                chunk_size=chunk)
@@ -198,9 +221,12 @@ def main():
     except Exception as e:
         log(f"full-window stage failed: {type(e).__name__}: {e}")
         result["encode_fullwindow_gbps"] = None
+    print(json.dumps(result), flush=True)
 
     # ---------------- foreign single zlib stream -----------------------
     try:
+        if over_budget("foreign stage"):
+            raise TimeoutError("budget")
         from tpu_deflate.ops.decode import inflate_device
 
         fsize = min(size, 1 << 20)

@@ -237,6 +237,28 @@ class TestGzipMembers:
         assert gz.decompress(g) == b""
         assert api.decompress_gzip(g, self.CFG) == b""
 
+    def test_foreign_gzip_on_device(self, monkeypatch):
+        """Foreign (stock) gzip must decode via the DEVICE inflate, not
+        the host reference loop (reference decodes any conformant stream
+        in hardware, deflate.py:656-732)."""
+        import gzip as gz
+        import io
+
+        import tpu_deflate.ref.inflate as ref_inflate
+
+        def _boom(*a, **k):  # pragma: no cover - tripwire
+            raise AssertionError("host gzip fallback used for foreign gzip")
+
+        monkeypatch.setattr(ref_inflate, "gzip_decompress", _boom)
+        data = b"".join(corpus(m, 20000) for m in [1, 3])
+        assert api.decompress_gzip(gz.compress(data, 6)) == data
+        # multi-member with FNAME/FCOMMENT header fields
+        buf = io.BytesIO()
+        with gz.GzipFile(fileobj=buf, mode="wb", filename="a.txt") as f:
+            f.write(data[:5000])
+        stream = buf.getvalue() + gz.compress(data[5000:9000], 1)
+        assert api.decompress_gzip(stream) == data[:9000]
+
 
 class TestStreamDecompressor:
     """Incremental decode: output must flow BEFORE the final flush when
@@ -268,13 +290,54 @@ class TestStreamDecompressor:
         out = d.decompress(g) + d.flush()
         assert out == data
 
-    def test_zlib_whole_stream_fallback(self):
+    def test_zlib_incremental(self):
         data = corpus(3, 9000)
         comp = api.compress(data, self.CFG)
         d = api.StreamDecompressor(self.CFG)
-        assert d.decompress(comp[:50]) == b""
-        assert d.decompress(comp[50:]) == b""
-        assert d.flush() == data
+        got = d.decompress(comp[:50])
+        got += d.decompress(comp[50:])
+        assert got, "no output produced before flush"
+        got += d.flush()
+        assert got == data
+
+    def test_zlib_incremental_foreign(self):
+        """zlib -6 stream (dynamic trees, 32 KB back-refs) fed in 4 KiB
+        slices must emit output before flush and round-trip, carrying
+        the output window across calls (the backpressured feed/drain of
+        /root/reference/test_deflate.py:142-174)."""
+        import zlib
+
+        data = b"".join(corpus(m, 40000) for m in [1, 3, 0])
+        comp = zlib.compress(data, 6)
+        d = api.StreamDecompressor()
+        got = b""
+        early = 0
+        step = 4096
+        for i in range(0, len(comp), step):
+            piece = d.decompress(comp[i : i + step])
+            if i + step < len(comp) and piece:
+                early += len(piece)
+            got += piece
+        got += d.flush()
+        assert got == data
+        assert early > 0, "no output produced before flush"
+
+    def test_zlib_incremental_truncated(self):
+        data = corpus(1, 9000)
+        comp = api.compress(data, self.CFG)
+        d = api.StreamDecompressor(self.CFG)
+        d.decompress(comp[: len(comp) - 6])
+        with pytest.raises(ValueError):
+            d.flush()
+
+    def test_zlib_incremental_bad_adler(self):
+        data = corpus(1, 9000)
+        comp = bytearray(api.compress(data, self.CFG))
+        comp[-1] ^= 0xFF
+        d = api.StreamDecompressor(self.CFG)
+        d.decompress(bytes(comp))
+        with pytest.raises(ValueError, match="Adler"):
+            d.flush()
 
     def test_truncated_member_rejected(self):
         data = corpus(0, 9000)

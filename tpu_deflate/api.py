@@ -402,11 +402,66 @@ def decompress_gzip(data: bytes, config: DeflateConfig = DeflateConfig()) -> byt
 
     members = _scan_gzip_members(data)
     if members is None:
-        # foreign gzip: sequential member walk on device
-        from tpu_deflate.ref.inflate import gzip_decompress as _host_gzip
-
-        return _host_gzip(data)
+        return _foreign_gzip_device(data, config)
     return b"".join(_decode_member_bodies(data, members, config))
+
+
+def _parse_gzip_header(data: bytes, pos: int) -> int:
+    """RFC 1952 header walk: return the deflate-body byte offset of the
+    member starting at ``pos`` (handles FEXTRA/FNAME/FCOMMENT/FHCRC)."""
+    from tpu_deflate.ref.inflate import DeflateError
+
+    if data[pos : pos + 2] != b"\x1f\x8b":
+        raise DeflateError("bad gzip magic")
+    if data[pos + 2] != 8:
+        raise DeflateError("unsupported gzip method")
+    flg = data[pos + 3]
+    p = pos + 10
+    if flg & 0x04:  # FEXTRA
+        xlen = int.from_bytes(data[p : p + 2], "little")
+        p += 2 + xlen
+    if flg & 0x08:  # FNAME
+        p = data.index(b"\x00", p) + 1
+    if flg & 0x10:  # FCOMMENT
+        p = data.index(b"\x00", p) + 1
+    if flg & 0x02:  # FHCRC
+        p += 2
+    return p
+
+
+def _foreign_gzip_device(data: bytes, config: DeflateConfig) -> bytes:
+    """Foreign (non-self-indexing) gzip: host header hop-scan + sequential
+    DEVICE inflate of each member's deflate body.
+
+    The decode-anything bar of the reference (its FSM decodes any
+    conformant stream, /root/reference/deflate.py:656-732); member
+    boundaries are only discoverable by decoding, so members run
+    sequentially — each one on device via ``inflate_device``."""
+    from tpu_deflate.ops.decode import inflate_device
+    from tpu_deflate.ref.inflate import DeflateError
+    from zlib import crc32 as _crc  # C impl: host CPU is very slow
+
+    out_all = bytearray()
+    pos = 0
+    while pos < len(data):
+        body_start = _parse_gzip_header(data, pos)
+        out, total, end_bit = inflate_device(
+            data,
+            start_bit=8 * body_start,
+            static_only=config.low_lut or not config.dynamic,
+            one_block=config.one_block,
+        )
+        p = (end_bit + 7) // 8
+        expect_crc = int.from_bytes(data[p : p + 4], "little")
+        expect_isize = int.from_bytes(data[p + 4 : p + 8], "little")
+        piece = out[:total].tobytes()
+        if _crc(piece) != expect_crc:
+            raise DeflateError("gzip CRC-32 mismatch")
+        if (total & 0xFFFFFFFF) != expect_isize:
+            raise DeflateError("gzip ISIZE mismatch")
+        out_all.extend(piece)
+        pos = p + 8
+    return bytes(out_all)
 
 
 def _decode_member_bodies(data: bytes, members, config: DeflateConfig):
@@ -470,18 +525,27 @@ class StreamDecompressor:
     Feed compressed bytes with decompress(); output is emitted as soon as
     complete units become decodable — member granularity for the
     self-indexing gzip container (each member's FEXTRA 'TD' length makes
-    completeness checkable without decoding), whole-stream granularity for
-    index-free zlib input.  flush() verifies trailers and returns any
-    remaining output.  This is the array-API analog of the reference's
-    backpressured READ drain (/root/reference/test_deflate.py:142-174):
-    the consumer receives bytes while the producer is still feeding.
+    completeness checkable without decoding), BLOCK granularity for
+    index-free zlib input (device decode per complete DEFLATE block,
+    carrying the 32 KB output window across calls), whole-stream
+    granularity for foreign gzip.  flush() verifies trailers and returns
+    any remaining output.  This is the array-API analog of the
+    reference's backpressured READ drain
+    (/root/reference/test_deflate.py:142-174): the consumer receives
+    bytes while the producer is still feeding.
     """
 
     def __init__(self, config: DeflateConfig = DeflateConfig()):
         self._config = config
         self._buf = bytearray()
         self._finished = False
-        self._mode = None  # None (undecided) | "members" | "whole"
+        self._mode = None  # None (undecided) | "members" | "zlib" | "whole"
+        # index-free zlib incremental state
+        self._pending = bytearray()  # compressed bytes after the header
+        self._pbit = 0  # bits of _pending[0] already consumed
+        self._window = b""  # last <= 32 KB of emitted output
+        self._adler = 1
+        self._zdone = False  # final block decoded; trailer may follow
 
     def _complete_members(self):
         """Scan complete self-indexing members at the buffer head.
@@ -509,19 +573,100 @@ class StreamDecompressor:
             pos += member_len
         return members, pos
 
+    def _emit(self, pieces, emitted: bytes):
+        from zlib import adler32 as _ad  # C impl: host CPU is very slow
+
+        pieces.append(emitted)
+        self._adler = _ad(emitted, self._adler)
+        self._window = (bytes(self._window) + emitted)[-32768:]
+
+    def _stored_step(self):
+        """Decode one byte-aligned stored block at the pending head on the
+        host (raw byte copy — the analog of the reference's 2-cycle COPY,
+        deflate.py:1603-1626).  Returns (payload, consumed_bits, bfinal)
+        or None if the block is not completely buffered."""
+        buf = self._pending
+        avail = 8 * len(buf) - self._pbit
+        if avail < 3:
+            return None
+        bfinal = (buf[self._pbit >> 3] >> (self._pbit & 7)) & 1
+        lo = (self._pbit + 3 + 7) >> 3  # align to byte after the 3-bit hdr
+        if len(buf) < lo + 4:
+            return None
+        ln = buf[lo] | (buf[lo + 1] << 8)
+        nln = buf[lo + 2] | (buf[lo + 3] << 8)
+        if ln != (nln ^ 0xFFFF):
+            raise ValueError("stored block LEN/NLEN mismatch")
+        if len(buf) < lo + 4 + ln:
+            return None
+        payload = bytes(buf[lo + 4 : lo + 4 + ln])
+        return payload, 8 * (lo + 4 + ln) - self._pbit, bool(bfinal)
+
+    def _drain_zlib(self) -> bytes:
+        """Decode every completely-buffered block; emit its output.
+
+        Stored blocks are byte-aligned on the ORIGINAL stream's byte grid,
+        which the bit-shifted synthetic buffer of inflate_stream_step
+        cannot reproduce — they are handled on the host; huffman blocks
+        decode on device (one block per step, window carried)."""
+        from tpu_deflate.ops.decode import inflate_stream_step
+
+        static_only = self._config.low_lut or not self._config.dynamic
+        pieces = []
+        while not self._zdone and self._pending:
+            if 8 * len(self._pending) - self._pbit < 3:
+                break
+            hdr = int.from_bytes(bytes(self._pending[:2]).ljust(2, b"\0"),
+                                 "little")
+            btype = (hdr >> (self._pbit + 1)) & 3
+            if btype == 3:
+                raise ValueError("invalid DEFLATE block type 3")
+            if btype == 0:
+                step = self._stored_step()
+                if step is None:
+                    break
+                emitted, consumed, done = step
+            else:
+                emitted, consumed, done = inflate_stream_step(
+                    self._window, bytes(self._pending), self._pbit,
+                    static_only=static_only,
+                )
+                if consumed == 0 and not done:
+                    break  # next block not fully buffered yet
+            nbit = self._pbit + consumed
+            del self._pending[: nbit >> 3]
+            self._pbit = nbit & 7
+            if emitted:
+                self._emit(pieces, emitted)
+            self._zdone = done
+        return b"".join(pieces)
+
     def decompress(self, data: bytes) -> bytes:
         if self._finished:
             raise ValueError("stream already finished")
         self._buf.extend(data)
-        if self._mode is None and len(self._buf) >= _GZ_HDR_LEN:
-            is_member = (
-                bytes(self._buf[0:2]) == b"\x1f\x8b"
-                and self._buf[3] == 0x04
-                and bytes(self._buf[12:14]) == _GZ_SUBFIELD
-            )
-            self._mode = "members" if is_member else "whole"
+        if self._mode is None and len(self._buf) >= 2:
+            if bytes(self._buf[0:2]) == b"\x1f\x8b":
+                if len(self._buf) < _GZ_HDR_LEN:
+                    return b""  # gzip: need the full base header to decide
+                is_member = (
+                    self._buf[3] == 0x04
+                    and bytes(self._buf[12:14]) == _GZ_SUBFIELD
+                )
+                self._mode = "members" if is_member else "whole"
+            else:
+                cmf, flg = self._buf[0], self._buf[1]
+                if cmf & 0x0F == 8 and ((cmf << 8) | flg) % 31 == 0:
+                    self._mode = "zlib"
+                    del self._buf[:2]
+                else:
+                    self._mode = "whole"
+        if self._mode == "zlib":
+            self._pending.extend(self._buf)
+            self._buf.clear()
+            return self._drain_zlib()
         if self._mode != "members":
-            return b""  # no index: output is delivered at flush
+            return b""  # foreign gzip: output is delivered at flush
         members, consumed = self._complete_members()
         if not members:
             return b""
@@ -533,6 +678,17 @@ class StreamDecompressor:
         if self._finished:
             raise ValueError("stream already finished")
         self._finished = True
+        if self._mode == "zlib":
+            out = self._drain_zlib()
+            if not self._zdone:
+                raise ValueError("truncated zlib stream at flush")
+            trailer_at = (self._pbit + 7) >> 3
+            trailer = bytes(self._pending[trailer_at : trailer_at + 4])
+            if len(trailer) < 4:
+                raise ValueError("truncated zlib trailer at flush")
+            if int.from_bytes(trailer, "big") != self._adler:
+                raise ValueError("Adler-32 mismatch")
+            return out
         tail = bytes(self._buf)
         self._buf.clear()
         if self._mode == "members":

@@ -5,10 +5,10 @@ reinterpretation of the reference's FAST matcher (32 combinational
 3-byte comparators + priority encoder + SEARCHF/SEARCH10 extension,
 /root/reference/deflate.py:407-421,899-994).  The XLA formulation costs
 ~4 dispatched ops per distance (~20-40us each at these batch shapes, so
-the 256-distance sweep is dispatch-bound); here the sweep is a
-``fori_loop`` whose shifted compare is a dynamic-amount ``pltpu.roll``,
-so the whole sweep is ONE kernel launch and the per-distance work is a
-handful of vector instructions over VMEM-resident rows.
+the 256-distance sweep is dispatch-bound); here the sweep is a fully
+UNROLLED ladder of static-amount ``pltpu.roll`` compares, so the whole
+sweep is ONE kernel launch and each distance is a handful of vector
+instructions over register/VMEM-resident rows.
 
 Layout: the block is split into 128 contiguous segments (one per sublane
 row), each prefixed with the previous segment's last ``window`` bytes and
@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _match2_kernel(n_ref, ext_ref, dl_ref, ch_ref, *, window: int,
+def _match2_kernel(n_ref, ext_ref, dl_ref, *, window: int,
                    max_match: int, seg: int):
     b = pl.program_id(0)
     n = n_ref[b]
@@ -63,6 +63,13 @@ def _match2_kernel(n_ref, ext_ref, dl_ref, ch_ref, *, window: int,
     # resident (r2 layout: an (nch*LANES, E) scratch + per-phase passes)
     # blew the 16 MB scoped-VMEM budget at the bench shape — this form
     # peaks at one channel plane plus the accumulators.
+    #
+    # The channel sweep is UNROLLED (static roll amounts, SSA value — no
+    # scratch round-trip): measured 3.7x over the fori_loop/dynamic-roll
+    # form at the bench shape (scripts/probe_match6.py, 5.9 ms vs 22 ms,
+    # B=128 x 64 KiB, win256/m10) — static-amount rolls lower to cheap
+    # lane shifts and the compiler keeps the whole channel plane in
+    # registers instead of bouncing it through VMEM scratch.
     nch = (window + 31) // 32
     best_d = jnp.zeros((LANES, seg), jnp.int32)
     found = jnp.zeros((LANES, seg), bool)
@@ -70,19 +77,14 @@ def _match2_kernel(n_ref, ext_ref, dl_ref, ch_ref, *, window: int,
     for c in range(nch):
         lo_d = 32 * c + 1
         hi_d = min(32 * c + 32, window)
-
-        def body(t, ch):
+        chc = jnp.zeros((LANES, E), jnp.uint32)
+        for t in range(hi_d - lo_d + 1):
             d = lo_d + t
             # roll right by d: rolled[:, i] = ext[:, i - d]; the slice stays
             # wrap-free because i - d >= halo - d >= 0 on [halo, halo + E)
             rolled = pltpu.roll(ext, d, 1)[:, halo : halo + E]
             eqb = (key == rolled).astype(jnp.uint32)
-            return ch | (eqb << ((d - 1) & 31))
-
-        ch_ref[...] = jax.lax.fori_loop(
-            0, hi_d - lo_d + 1, body, jnp.zeros((LANES, E), jnp.uint32)
-        )
-        chc = ch_ref[...]
+            chc = chc | (eqb << ((d - 1) & 31))
         # 3-byte seeds; nearest distance = least set bit within the channel
         mc = chc[:, :seg] & chc[:, 1 : seg + 1] & chc[:, 2 : seg + 2]
         lsb = mc & (~mc + jnp.uint32(1))
@@ -109,15 +111,20 @@ def _match2_kernel(n_ref, ext_ref, dl_ref, ch_ref, *, window: int,
 
 
 def _halo_bytes(b: jax.Array, halo: int, seg: int, rhalo: int) -> jax.Array:
-    """(N,) int32 bytes -> (LANES, halo + seg + rhalo) with -1 pads."""
-    idx = (
-        jnp.arange(LANES, dtype=jnp.int32)[:, None] * seg
-        - halo
-        + jnp.arange(halo + seg + rhalo, dtype=jnp.int32)[None, :]
+    """(N,) int32 bytes -> (LANES, halo + seg + rhalo) with -1 pads.
+
+    Row i is the contiguous slice b[i*seg - halo : i*seg + seg + rhalo]
+    (-1 outside [0, N)) — built from LANES static slices of the padded
+    flat array rather than a gather (the affine-index gather cost ~7 ms
+    of the 13 ms kernel call at the bench shape; slices are pure copies).
+    """
+    L = halo + seg + rhalo
+    flatp = jnp.concatenate(
+        [jnp.full(halo, -1, b.dtype), b, jnp.full(L, -1, b.dtype)]
     )
-    valid = (idx >= 0) & (idx < b.shape[0])
-    vals = b[jnp.clip(idx, 0, b.shape[0] - 1)]
-    return jnp.where(valid, vals, -1)
+    return jnp.stack(
+        [jax.lax.slice(flatp, (i * seg,), (i * seg + L,)) for i in range(LANES)]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("window", "max_match", "interpret"))
@@ -156,7 +163,10 @@ def match_bitplane_batch(
         out_shape=jax.ShapeDtypeStruct((B, LANES, seg), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
         out_specs=ospec,
-        scratch_shapes=[pltpu.VMEM((LANES, E), jnp.uint32)],
+        # the unrolled sweep keeps the live channel plane + accumulators
+        # ~21 MB at the bench shape, over Mosaic's 16 MB default scoped
+        # budget; v5e has 128 MB VMEM so a raised per-kernel cap is safe
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(n.astype(jnp.int32), ext)
     dl = dl.reshape(B, N)

@@ -580,7 +580,7 @@ def _chase(plane: jax.Array, pwin: int):
     jax.jit,
     static_argnames=(
         "tok_cap", "pwin", "stop_at_eob", "static_only", "vector_cllen",
-        "one_block",
+        "one_block", "return_bfinal",
     ),
 )
 def tokenize(
@@ -593,6 +593,7 @@ def tokenize(
     static_only: bool = False,
     vector_cllen: bool = True,
     one_block: bool = False,
+    return_bfinal: bool = False,
 ):
     """Stage 1: bitstream -> token arrays.
 
@@ -1112,6 +1113,8 @@ def tokenize(
     tk = jnp.where(is_stored, TK_STORED, (tkp >> 26) & 3)
     ta = jnp.where(is_stored, s["ta"], (tkp >> 17) & 0x1FF)
     tb = jnp.where(is_stored, s["tb"], tkp & 0x1FFFF)
+    if return_bfinal:
+        return tk, ta, tb, s["tp"], s["out_total"], s["pos"], err, s["bfinal"]
     return tk, ta, tb, s["tp"], s["out_total"], s["pos"], err
 
 
@@ -1461,6 +1464,92 @@ def inflate_device(
             raise ValueError(f"inflate error code {err}")
         out, total = expand(arr, tk, ta, tb, tp, out_cap=cap)
         return np.asarray(out), int(total), int(pos)
+
+
+def _shift_right_bits(data: bytes, k: int) -> bytes:
+    """Drop the low ``k`` bits (0-7) of an LSB-first bitstream: output
+    byte i carries input bits [8i + k, 8i + k + 8)."""
+    if k == 0:
+        return bytes(data)
+    a = np.frombuffer(bytes(data), np.uint8).astype(np.uint16)
+    nxt = np.concatenate([a[1:], np.zeros(1, np.uint16)])
+    return (((a >> k) | ((nxt << (8 - k)) & 0xFF)) & 0xFF).astype(np.uint8).tobytes()
+
+
+def inflate_stream_step(
+    window: bytes,
+    pending: bytes,
+    pbit: int,
+    static_only: bool = False,
+) -> tuple[bytes, int, bool]:
+    """One incremental inflate step over a partial stream.
+
+    ``window`` is the last <= 32 KB of output already emitted; ``pending``
+    holds unconsumed compressed bytes whose first ``pbit`` bits are
+    already decoded.  Decodes the next complete block run on device by
+    synthesizing a stored block that carries the window (so cross-call
+    back-references resolve), then tokenizing from the stored block
+    through the first end-of-block.  Returns (emitted bytes, bits of
+    ``pending`` consumed, stream_done).  (b"", 0, False) means the next
+    block is not completely buffered yet — feed more input and retry.
+
+    This is the device analog of the reference's concurrent feed/drain
+    streaming protocol (backpressured READ while WRITEs continue,
+    /root/reference/test_deflate.py:142-174): output becomes available
+    per block while the producer is still feeding.
+    """
+    W = len(window)
+    assert W <= 0xFFFF
+    prefix = (
+        b"\x00"
+        + W.to_bytes(2, "little")
+        + (W ^ 0xFFFF).to_bytes(2, "little")
+        + bytes(window)
+    )
+    shifted = _shift_right_bits(pending, pbit)
+    raw = np.frombuffer(prefix + shifted, np.uint8)
+    m = len(raw)
+    m_pad = max(1 << 12, 1 << int(np.ceil(np.log2(max(m, 2)))))
+    arr = jnp.asarray(np.pad(raw, (0, m_pad - m)))
+    end_bit = 8 * len(prefix) + (8 * len(pending) - pbit)
+    cap = max(1 << 12, 1 << int(np.ceil(np.log2(max(W + 4 * len(pending), 2)))))
+    pwin = _pick_pwin(m_pad)
+    while True:
+        tk, ta, tb, tp, out_total, pos, err, bfinal = tokenize(
+            arr, 0, tok_cap=cap + 16, end_bit=jnp.int32(end_bit), pwin=pwin,
+            stop_at_eob=True, static_only=static_only,
+            vector_cllen=jax.devices()[0].platform == "tpu",
+            return_bfinal=True,
+        )
+        err = int(err)
+        if err == ERR_OVERFLOW or (err == ERR_OK and int(out_total) > cap):
+            cap *= 2
+            if cap > 1 << 31:
+                raise ValueError("output too large")
+            continue
+        if err == ERR_DYNAMIC:
+            from tpu_deflate.ref.inflate import DeflateError
+
+            raise DeflateError(
+                "dynamic-Huffman block rejected: decoder compiled with "
+                "dynamic=False/low_lut (reference DYNAMIC flag, "
+                "deflate.py:25)"
+            )
+        if err != ERR_OK:
+            # most commonly ERR_INPUT (block truncated at end_bit); any
+            # genuinely malformed stream re-errors once fully buffered,
+            # surfaced by the caller's flush
+            return b"", 0, False
+        if int(pos) > end_bit:
+            # a block parsed past the buffered input (e.g. stored payload
+            # truncated after its complete header): wait for more bytes
+            return b"", 0, False
+        out, total = expand(arr, tk, ta, tb, tp, out_cap=cap)
+        consumed = int(pos) - 8 * len(prefix)
+        if consumed <= 0:
+            return b"", 0, False
+        emitted = np.asarray(out)[W : int(total)].tobytes()
+        return emitted, consumed, bool(int(bfinal))
 
 
 def zlib_decompress_device(data: bytes, config: DeflateConfig = DeflateConfig()) -> bytes:
