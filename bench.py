@@ -84,6 +84,9 @@ def main():
     from tpu_deflate.ops.decode import decode_rows_batch
     from tpu_deflate.ops.encode import encode_blocks_batch
 
+    from tpu_deflate.utils.profiling import Profiler
+
+    prof = Profiler()
     wall0 = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
@@ -113,7 +116,8 @@ def main():
     # ---------------- encode (headline) --------------------------------
     enc = jax.jit(functools.partial(encode_blocks_batch, config=cfg))
     t0 = time.perf_counter()
-    (out, sizes, _), enc_s = timed(enc, darr, dlens, dfinals, reps=reps)
+    with prof.stage("encode_wall_incl_compile", nbytes=size * reps):
+        (out, sizes, _), enc_s = timed(enc, darr, dlens, dfinals, reps=reps)
     log(f"encode compiled+ran, steady {enc_s * 1e3:.1f} ms "
         f"-> {size / enc_s / 1e9:.3f} GB/s "
         f"(total wall {time.perf_counter() - t0:.0f}s)")
@@ -143,7 +147,8 @@ def main():
         dends = (8 * sizes).astype(jnp.int32)
         dec = jax.jit(lambda rows, ee: decode_rows_batch(
             rows, ee, out_cap=chunk, tok_cap=chunk + 16, static_only=True))
-        (outs, totals, errs), dec_s = timed(dec, out, dends, reps=reps)
+        with prof.stage("decode_wall_incl_compile", nbytes=size * reps):
+            (outs, totals, errs), dec_s = timed(dec, out, dends, reps=reps)
         assert (np.asarray(errs) == 0).all(), "decode error codes"
         got = np.asarray(outs).reshape(-1)[:size]
         assert got.tobytes() == data, "decode mismatch"
@@ -248,6 +253,29 @@ def main():
         log(f"foreign stage failed: {type(e).__name__}: {e}")
         result["decode_foreign_gbps"] = None
 
+    # ---------------- foreign gzip (device member walk) ----------------
+    try:
+        if over_budget("foreign gzip stage"):
+            raise TimeoutError("budget")
+        import gzip as _gz
+
+        from tpu_deflate.api import decompress_gzip
+
+        gsize = min(size, 1 << 20)
+        graw = data[:gsize]
+        gstream = _gz.compress(graw, 6)
+        assert decompress_gzip(gstream) == graw  # compile + verify
+        t0 = time.perf_counter()
+        assert decompress_gzip(gstream) == graw
+        g_s = time.perf_counter() - t0
+        result["decode_foreign_gzip_gbps"] = round(gsize / g_s / 1e9, 4)
+        log(f"foreign gzip stream: {g_s * 1e3:.1f} ms -> "
+            f"{result['decode_foreign_gzip_gbps']} GB/s on {gsize >> 20} MiB")
+    except Exception as e:
+        log(f"foreign gzip stage failed: {type(e).__name__}: {e}")
+        result["decode_foreign_gzip_gbps"] = None
+
+    log("stage profile:", prof.report())
     print(json.dumps(result))
 
 

@@ -90,22 +90,6 @@ def main():
     t2 = timeit(jax.jit(s2), darr, dists, dlens)
     log(f"stage2 extend select: {t2*1e3:.1f} ms")
 
-    # stages 1+2 pallas fused
-    from tpu_deflate.kernels.match import find_matches_pallas
-
-    def s12p(rows, ns):
-        keys = jax.vmap(key3_of)(rows, ns)
-        d, l = jax.vmap(
-            lambda k, n: find_matches_pallas(k, n, window=window, max_match=max_match)
-        )(keys, ns)
-        return jnp.sum(d[:, ::257]) + jnp.sum(l[:, ::257])
-
-    try:
-        tp_ = timeit(jax.jit(s12p), darr, dlens)
-        log(f"stage1+2 pallas: {tp_*1e3:.1f} ms")
-    except Exception as e:
-        log(f"pallas matcher failed: {type(e).__name__}: {e}")
-
     # stage 3: parse chase
     lens = jax.block_until_ready(
         jax.jit(
@@ -130,7 +114,6 @@ def main():
         window=window,
         max_match=max_match,
         use_sort_matcher=False,
-        use_pallas=False,
         lazy=False,
         dynamic_encode=False,
     )
@@ -151,19 +134,6 @@ def main():
     )
     t5 = timeit(enc, darr, dlens, dfinals)
     log(f"full encode_blocks_batch: {t5*1e3:.1f} ms ({size/t5/1e9:.4f} GB/s)")
-
-    # pallas variant end to end
-    cfgp = DeflateConfig(window=window, max_match=max_match, chunk_size=chunk, use_pallas=True)
-    encp = jax.jit(
-        lambda rows, ns, fins: jnp.sum(
-            E.encode_blocks_batch(rows, ns, fins, cfgp)[1]
-        )
-    )
-    try:
-        t6 = timeit(encp, darr, dlens, dfinals)
-        log(f"full encode (pallas matcher): {t6*1e3:.1f} ms ({size/t6/1e9:.4f} GB/s)")
-    except Exception as e:
-        log(f"pallas encode failed: {type(e).__name__}: {e}")
 
     log("done")
 

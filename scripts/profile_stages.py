@@ -94,7 +94,7 @@ if __name__ == "__main__":
         # stage 3+4: parse + emissions (vmapped XLA)
         f = functools.partial(
             E._encode_emissions, window=256, max_match=10,
-            use_sort_matcher=False, use_pallas=False, lazy=False,
+            use_sort_matcher=False, lazy=False,
             dynamic_encode=False)
 
         def emis(d, n_, fin, pd, pl_):

@@ -23,7 +23,8 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(300)
+# (hang protection: the worker communicate() below has timeout=240;
+# pytest-timeout is not installed in this image, so no mark here)
 def test_two_process_encode_roundtrip():
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")

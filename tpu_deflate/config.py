@@ -60,11 +60,6 @@ class DeflateConfig:
     # improvement over the reference, which is static-only).
     dynamic_encode: bool = False
 
-    # Use the fused Pallas VMEM match kernel (kernels/match.py) for
-    # stages 1+2 of the encoder.  Applies to compare-sweep windows
-    # (window <= 256); the sort matcher path ignores it.
-    use_pallas: bool = False
-
     # One-step lazy matching (emit a literal when the next position holds
     # a strictly longer match).  Better ratio than the reference's greedy
     # parse; off for reference-parity configs.

@@ -613,7 +613,6 @@ def _encode_emissions(
     window: int,
     max_match: int,
     use_sort_matcher: bool,
-    use_pallas: bool = False,
     lazy: bool = False,
     dynamic_encode: bool = False,
     pre_dist: jax.Array | None = None,
@@ -639,17 +638,6 @@ def _encode_emissions(
     if pre_dist is not None:
         # stages 1+2 already computed (batched Pallas bitplane matcher)
         dist, length = pre_dist, pre_length
-    elif use_pallas and not use_sort_matcher and N % 128 == 0:
-        # fused VMEM kernel for stages 1+2 (the FAST matcher analog)
-        from tpu_deflate.kernels.match import find_matches_pallas
-
-        dist, length = find_matches_pallas(
-            key3, n, window=window, max_match=max_match
-        )
-        has = (dist > 0) & (idx + 3 <= n) & (dist <= idx)
-        dist = jnp.where(has, dist, 0)
-        length = jnp.where(has, length, 0)
-        length = jnp.minimum(length, jnp.maximum(n - idx, 0))
     elif use_sort_matcher:
         # stages 1+2 fused: best-of-many candidates, probe then extend
         dist, length = _match_candidates_multi(b, key3, n, window, max_match)
@@ -943,7 +931,6 @@ def _finalize_block(data, n, final, out, total_bits, M: int):
         "window",
         "max_match",
         "use_sort_matcher",
-        "use_pallas",
         "lazy",
         "dynamic_encode",
     ),
@@ -955,7 +942,6 @@ def encode_block_bits(
     window: int,
     max_match: int,
     use_sort_matcher: bool,
-    use_pallas: bool = False,
     lazy: bool = False,
     dynamic_encode: bool = False,
 ):
@@ -970,7 +956,7 @@ def encode_block_bits(
     M = max_output_bytes(N)
     all_vals, all_nbs, all_offs, total_bits, ntokens = _encode_emissions(
         data, n, final, window, max_match, use_sort_matcher,
-        use_pallas, lazy, dynamic_encode,
+        lazy, dynamic_encode,
     )
     byte_idx = all_offs >> 3
     shift = all_offs & 7
@@ -1040,7 +1026,6 @@ def encode_block(
         window=config.window,
         max_match=config.max_match,
         use_sort_matcher=use_sort,
-        use_pallas=config.use_pallas,
         lazy=config.lazy,
         dynamic_encode=config.dynamic_encode,
     )
@@ -1066,7 +1051,6 @@ def encode_blocks_batch(data, lengths, finals, config: DeflateConfig = DeflateCo
         window=config.window,
         max_match=config.max_match,
         use_sort_matcher=use_sort,
-        use_pallas=config.use_pallas,
         lazy=config.lazy,
         dynamic_encode=config.dynamic_encode,
     )

@@ -94,18 +94,17 @@ def run_selftest(config: DeflateConfig | None = None, verbose: bool = True) -> b
         )
         # LOWLUT preset: decompress-only, static-tree, one block
         # (reference deflate.py:21,43-47) — decode a golden one-block
-        # static stream of pinned size and byte-compare the output.
-        lowlut_cfg = DeflateConfig(
-            compress=False, decompress=True, dynamic=False, match10=False,
-            fast=False, one_block=True, low_lut=True, max_match=258,
-        )
+        # static stream and byte-compare the output.  The preset is
+        # imported, not restated, so legality-surface changes propagate.
+        from tpu_deflate.config import LOWLUT as lowlut_cfg
+
         golden_1blk = zlib_compress(
             data,
             DeflateConfig(window=256, max_match=10, chunk_size=1 << 20,
                           one_block=True),
         )
         report(
-            "LOWLUT golden stream size pinned",
+            "host golden one-block stream size pinned (precondition)",
             len(golden_1blk) == 0x234,
             f"({len(golden_1blk):#x} == 0x234)",
         )
