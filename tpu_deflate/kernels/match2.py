@@ -39,7 +39,7 @@ LANES = 128
 
 
 def _match2_kernel(n_ref, ext_ref, dl_ref, *, window: int,
-                   max_match: int, seg: int):
+                   max_match: int, seg: int, unroll: bool):
     b = pl.program_id(0)
     n = n_ref[b]
     halo = window
@@ -64,12 +64,12 @@ def _match2_kernel(n_ref, ext_ref, dl_ref, *, window: int,
     # blew the 16 MB scoped-VMEM budget at the bench shape — this form
     # peaks at one channel plane plus the accumulators.
     #
-    # The channel sweep is UNROLLED (static roll amounts, SSA value — no
-    # scratch round-trip): measured 3.7x over the fori_loop/dynamic-roll
-    # form at the bench shape (scripts/probe_match6.py, 5.9 ms vs 22 ms,
-    # B=128 x 64 KiB, win256/m10) — static-amount rolls lower to cheap
-    # lane shifts and the compiler keeps the whole channel plane in
-    # registers instead of bouncing it through VMEM scratch.
+    # ``unroll``: the channel sweep is UNROLLED (static roll amounts, SSA
+    # value): measured 3.7x over the fori_loop/dynamic-roll form at the
+    # bench shape (scripts/probe_match6.py, 5.9 ms vs 22 ms, B=128 x
+    # 64 KiB, win256/m10) — static-amount rolls lower to cheap lane
+    # shifts.  The fori form is kept selectable because Mosaic codegen of
+    # the big unrolled program is the newer, riskier path.
     nch = (window + 31) // 32
     best_d = jnp.zeros((LANES, seg), jnp.int32)
     found = jnp.zeros((LANES, seg), bool)
@@ -77,14 +77,25 @@ def _match2_kernel(n_ref, ext_ref, dl_ref, *, window: int,
     for c in range(nch):
         lo_d = 32 * c + 1
         hi_d = min(32 * c + 32, window)
-        chc = jnp.zeros((LANES, E), jnp.uint32)
-        for t in range(hi_d - lo_d + 1):
-            d = lo_d + t
-            # roll right by d: rolled[:, i] = ext[:, i - d]; the slice stays
-            # wrap-free because i - d >= halo - d >= 0 on [halo, halo + E)
-            rolled = pltpu.roll(ext, d, 1)[:, halo : halo + E]
-            eqb = (key == rolled).astype(jnp.uint32)
-            chc = chc | (eqb << ((d - 1) & 31))
+        if unroll:
+            chc = jnp.zeros((LANES, E), jnp.uint32)
+            for t in range(hi_d - lo_d + 1):
+                d = lo_d + t
+                # roll right by d: rolled[:, i] = ext[:, i - d]; the slice
+                # stays wrap-free: i - d >= halo - d >= 0 on [halo, halo+E)
+                rolled = pltpu.roll(ext, d, 1)[:, halo : halo + E]
+                eqb = (key == rolled).astype(jnp.uint32)
+                chc = chc | (eqb << ((d - 1) & 31))
+        else:
+            def body(t, ch):
+                d = lo_d + t
+                rolled = pltpu.roll(ext, d, 1)[:, halo : halo + E]
+                eqb = (key == rolled).astype(jnp.uint32)
+                return ch | (eqb << ((d - 1) & 31))
+
+            chc = jax.lax.fori_loop(
+                0, hi_d - lo_d + 1, body, jnp.zeros((LANES, E), jnp.uint32)
+            )
         # 3-byte seeds; nearest distance = least set bit within the channel
         mc = chc[:, :seg] & chc[:, 1 : seg + 1] & chc[:, 2 : seg + 2]
         lsb = mc & (~mc + jnp.uint32(1))
@@ -139,6 +150,9 @@ def match_bitplane_batch(
     matcher.  N must be a multiple of 128; window <= 256."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    import os as _os
+
+    unroll = _os.environ.get("TPU_DEFLATE_MATCH2_FORM", "unroll") != "fori"
     B, N = data.shape
     seg = N // LANES
     halo, rhalo = window, max_match
@@ -151,7 +165,8 @@ def match_bitplane_batch(
     ext = jax.vmap(lambda row: _halo_bytes(row, halo, seg, L - halo - seg))(b)
 
     kern = functools.partial(
-        _match2_kernel, window=window, max_match=max_match, seg=seg
+        _match2_kernel, window=window, max_match=max_match, seg=seg,
+        unroll=unroll,
     )
     spec = pl.BlockSpec(
         (1, LANES, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
