@@ -199,14 +199,21 @@ def main():
         if over_budget("full-window stage"):
             raise TimeoutError("budget")
         fw_mb = min(size, 2 << 20)  # the sort matcher is O(N log N)-heavy
+        # best-ratio config: full window + dynamic trees + lazy, 256 KiB
+        # chunks (fewer window resets / tree headers; measured 1.062x
+        # zlib-6 size on this corpus vs 1.095x at 64 KiB chunks)
+        fw_chunk = 1 << 18
         fw_cfg = DeflateConfig(window=32768, max_match=258, lazy=True,
-                               chunk_size=chunk)
-        nfw = fw_mb // chunk
+                               dynamic_encode=True, chunk_size=fw_chunk)
+        nfw = fw_mb // fw_chunk
         finf = np.zeros(nfw, bool)
         finf[-1] = True
+        fdarr = jnp.asarray(
+            np.frombuffer(data[:fw_mb], np.uint8).reshape(nfw, fw_chunk))
+        fdlens = jnp.full(nfw, fw_chunk, jnp.int32)
         encf = jax.jit(functools.partial(encode_blocks_batch, config=fw_cfg))
         (outf, sizesf, _), fw_s = timed(
-            encf, darr[:nfw], dlens[:nfw], jnp.asarray(finf), reps=1)
+            encf, fdarr, fdlens, jnp.asarray(finf), reps=1)
         sizesf_h = np.asarray(sizesf)
         bodyf = b"".join(
             np.asarray(outf)[i, : sizesf_h[i]].tobytes() for i in range(nfw)
