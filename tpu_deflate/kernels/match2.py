@@ -220,7 +220,12 @@ def match_bitplane_batch(
         interpret = jax.default_backend() != "tpu"
     import os as _os
 
-    form = _os.environ.get("TPU_DEFLATE_MATCH2_FORM", "unroll")
+    # default: fori.  The fully-unrolled sweep is faster standalone
+    # (8.9 ms vs ~14 ms at the bench shape) but its composed
+    # encode_blocks_batch program HANGS at device execution (Mosaic
+    # codegen issue, reproduced 3x on 2026-08-20); select it explicitly
+    # for standalone experiments only.
+    form = _os.environ.get("TPU_DEFLATE_MATCH2_FORM", "fori")
     B, N = data.shape
     seg = N // LANES
     halo, rhalo = window, max_match
