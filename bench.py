@@ -98,7 +98,9 @@ def main():
         return False
 
     size = int(os.environ.get("BENCH_MB", "8")) << 20
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # one host sync through the tunnel costs ~27 ms; reps amortize it so
+    # the reported steady-state is compute, not tunnel round-trip
+    reps = int(os.environ.get("BENCH_REPS", "10"))
     fast = bool(os.environ.get("BENCH_FAST"))
     chunk = 1 << 16
     cfg = DeflateConfig(window=256, max_match=10, chunk_size=chunk)

@@ -106,6 +106,64 @@ def _halo_bytes_gather(b: jax.Array, halo: int, seg: int, rhalo: int) -> jax.Arr
     return jnp.where(valid, vals, -1)
 
 
+def _match2_kernel_hybrid(n_ref, ext_ref, dl_ref, *, window: int,
+                          max_match: int, seg: int):
+    """Two-level sweep: ONE dynamic-amount roll per 32-distance channel
+    (base = ext rotated by 32c), then 32 STATIC sub-rolls (amounts 1..32)
+    of the base — static small shifts are the cheap VPU form the
+    fully-unrolled kernel proved out, while the per-distance roll amounts
+    never exceed 32 (the full unroll's rolls reach `window` lanes and its
+    composed program hangs at execution — suspected instruction-memory
+    pressure).  Channel loop unrolled in Python (8 channels at win256);
+    an scf.for version fails Mosaic legalization.  Requires
+    window % 32 == 0."""
+    b = pl.program_id(0)
+    n = n_ref[b]
+    halo = window
+    rhalo = max_match
+    E = -(-(seg + rhalo) // 128) * 128
+    L = -(-(halo + E) // 128) * 128
+    ext = ext_ref[0]
+    key = ext[:, halo : halo + E]
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, seg), 0) * seg
+        + jax.lax.broadcasted_iota(jnp.int32, (LANES, seg), 1)
+    )
+    posok = pos + 3 <= n
+    nch = window // 32
+    best_d = jnp.zeros((LANES, seg), jnp.int32)
+    found = jnp.zeros((LANES, seg), bool)
+    length = jnp.zeros((LANES, seg), jnp.int32)
+    base = ext
+    for c in range(nch):
+        chc = jnp.zeros((LANES, E), jnp.uint32)
+        for t in range(32):  # static sub-rolls: d = 32c + t + 1
+            rolled = pltpu.roll(base, t + 1, 1)[:, halo : halo + E]
+            eqb = (key == rolled).astype(jnp.uint32)
+            chc = chc | (eqb << t)
+        mc = chc[:, :seg] & chc[:, 1 : seg + 1] & chc[:, 2 : seg + 2]
+        lsb = mc & (~mc + jnp.uint32(1))
+        k = (31 - jax.lax.clz(lsb)).astype(jnp.int32)
+        has_c = mc != 0
+        new = ~found & has_c
+        d_c = 32 * c + k + 1
+        best_d = jnp.where(new, d_c, best_d)
+        found = found | has_c
+        bit = jnp.where(new, k, 0).astype(jnp.uint32)
+        alive = new & posok & (d_c <= pos)
+        len_c = jnp.zeros((LANES, seg), jnp.int32)
+        for kk in range(3, max_match):
+            alive = alive & (((chc[:, kk : seg + kk] >> bit) & 1) == 1)
+            len_c = len_c + alive.astype(jnp.int32)
+        length = length + len_c
+        if c + 1 < nch:
+            base = pltpu.roll(base, 32, 1)  # advance the channel base
+    has = found & posok & (best_d <= pos)
+    length = jnp.where(has, 3 + length, 0)
+    length = jnp.minimum(length, jnp.maximum(n - pos, 0))
+    dl_ref[0] = (jnp.where(has, best_d, 0) << 9) | length
+
+
 def _match2_kernel(n_ref, ext_ref, dl_ref, *, window: int,
                    max_match: int, seg: int, unroll: bool):
     b = pl.program_id(0)
@@ -220,12 +278,14 @@ def match_bitplane_batch(
         interpret = jax.default_backend() != "tpu"
     import os as _os
 
-    # default: fori.  The fully-unrolled sweep is faster standalone
-    # (8.9 ms vs ~14 ms at the bench shape) but its composed
-    # encode_blocks_batch program HANGS at device execution (Mosaic
-    # codegen issue, reproduced 3x on 2026-08-20); select it explicitly
-    # for standalone experiments only.
-    form = _os.environ.get("TPU_DEFLATE_MATCH2_FORM", "fori")
+    # default: hybrid (two-level rolls) — composes cleanly and measured
+    # encode 0.280 GB/s vs fori's 0.241 at the bench shape.  The fully
+    # UNROLLED sweep is fastest standalone (8.9 ms vs hybrid ~11 ms) but
+    # its composed encode_blocks_batch program HANGS at device execution
+    # (reproduced 3x on 2026-08-20; suspected Mosaic instruction-memory
+    # pressure — the hybrid's rolls never exceed 32 lanes and its body is
+    # 1/8 the size): select "unroll" for standalone experiments only.
+    form = _os.environ.get("TPU_DEFLATE_MATCH2_FORM", "hybrid")
     B, N = data.shape
     seg = N // LANES
     halo, rhalo = window, max_match
@@ -257,10 +317,16 @@ def match_bitplane_batch(
         )(n.astype(jnp.int32), ext)
         dl = dl.reshape(B, N)
         return dl >> 9, dl & 0x1FF
-    kern = functools.partial(
-        _match2_kernel, window=window, max_match=max_match, seg=seg,
-        unroll=form != "fori",
-    )
+    if form == "hybrid" and window % 32 == 0:
+        kern = functools.partial(
+            _match2_kernel_hybrid, window=window, max_match=max_match,
+            seg=seg,
+        )
+    else:
+        kern = functools.partial(
+            _match2_kernel, window=window, max_match=max_match, seg=seg,
+            unroll=form == "unroll",
+        )
     dl = pl.pallas_call(
         kern,
         grid=(B,),
