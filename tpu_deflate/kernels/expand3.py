@@ -21,16 +21,23 @@ along lanes) to process a WHOLE chunk per grid step with no tiling:
      a 7-round BINARY SEARCH over the sorted window — each round ONE
      lane-gather (take_along_axis axis=1).
 
-  3. LZ77 resolution: parents collapse analytically within their own
-     token's run (q = so - d + (p - so) mod d, the windowed form of the
-     reference's off1/off2 overlap shortcuts, deflate.py:1630-1652),
-     bounding every initial delta by 513.  Values and deltas pack into
-     one int32 plane (delta<<8 | value, delta 0 = resolved); each
-     resolve round gathers the parent's packed word via 6 static
-     sublane shifts + lane-gathers and either adopts its value or
-     doubles the delta (clamped to 640 so the 6-row window always
-     covers it).  Real data converges in <= ~4 rounds; the clamp gives
-     a worst-case bound of ~out_cap/640 + log rounds.
+  3. LZ77 resolution: parents collapse analytically across the whole
+     MAXIMAL same-distance token run (q = rb - d + (p - (rb - d)) mod d
+     with rb the run's first output offset, found by one token-level
+     cummax — the run-wide generalization of the reference's off1/off2
+     overlap shortcuts, deflate.py:1630-1652).  Every in-run byte then
+     points DIRECTLY at the d pre-run source bytes, so resolution depth
+     is the match NESTING depth, independent of run length (the
+     per-token collapse this replaces crept long runs at DCLAMP bytes
+     per round — measured 14.5 of 19.5 ms at the bench shape).  The
+     plane packs delta<<16 | (d-1)<<8 | value (delta 0 = resolved):
+     near parents (delta <= DCLAMP) resolve via 6 static sublane shifts
+     + lane-gathers with composition capped at DCLAMP; far parents
+     resolve via a row-one-hot MXU pull at ANY distance when the row's
+     far lanes source from one <= 3-row region, with an arithmetic
+     on-chain downgrade (delta -> largest multiple of d <= DCLAMP,
+     valid because init deltas are multiples of d) as the guaranteed-
+     progress fallback for mixed rows.
 
 Element-equal to the XLA formulation (ops/decode._expand_fields +
 kernels/resolve.py); parity-tested in interpret mode.  Reference
@@ -47,9 +54,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 MAXD = 256  # largest match distance this kernel accepts
-DCLAMP = 640  # doubled-delta clamp; ROWBACK rows always cover it
-ROWBACK = 5  # static sublane shifts per resolve round (covers 640+127)
+# static sublane shifts per resolve round; the composition clamp is
+# 128*ROWBACK so the shift window always covers a clamped delta
+ROWBACK = int(_os.environ.get("TPU_DEFLATE_EXP3_ROWBACK", "5"))
+DCLAMP = 128 * ROWBACK
 
 
 def _bdot(a, b):
@@ -81,9 +92,9 @@ def _exp3_kernel(
     tp_ref, tot_ref,  # SMEM int32[B]
     fo_ref,  # (1, 8, KRL) int32 — first offset per token row (lane-major,
     #          padded to 8 sublanes for Mosaic's block divisibility rule)
-    off_ref, fpk_ref,  # (1, KR, 128) int32 token planes
+    off_ref, fpk_ref, rb_ref,  # (1, KR, 128) int32 token planes
     out_ref,  # (1, R, 128) int32
-    *, R: int, KR: int, KRL: int, interp: bool,
+    *, R: int, KR: int, KRL: int, interp: bool, fixed_bodies: int = 0,
 ):
     total = tot_ref[pl.program_id(0)]
     fo8 = fo_ref[0]  # (8, KRL), all sublanes equal
@@ -107,12 +118,16 @@ def _exp3_kernel(
     # ---- 2. candidate token windows: rows tr, tr+1 ---------------------
     off_t = off_ref[0]
     fpk_t = fpk_ref[0]
+    rb_t = rb_ref[0]
     zrow = jnp.zeros((1, 128), jnp.int32)
     off2 = jnp.concatenate(
         [off_t, jnp.concatenate([off_t[1:], zrow + (R * 128)], 0)], axis=1
     )  # (KR, 256): lanes 0-127 row j, 128-255 row j+1
     fpk2 = jnp.concatenate(
         [fpk_t, jnp.concatenate([fpk_t[1:], zrow], 0)], axis=1
+    )
+    rb2 = jnp.concatenate(
+        [rb_t, jnp.concatenate([rb_t[1:], zrow], 0)], axis=1
     )
     ki = jax.lax.broadcasted_iota(jnp.int32, (R, KR), 1)
     ohw = (ki == tr[:, 0:1]).astype(jnp.bfloat16)  # (R, KR)
@@ -127,6 +142,7 @@ def _exp3_kernel(
 
     W_off = gather_rows(off2, 3)
     W_fpk = gather_rows(fpk2, 4)
+    W_rb = gather_rows(rb2, 3)
     WA = W_off[:, :128]
     WB = W_off[:, 128:]
 
@@ -155,26 +171,38 @@ def _exp3_kernel(
         )
 
     fv = pick2(W_fpk)
-    so = pick2(W_off)
+    rbp = pick2(W_rb)
 
     kind = (fv >> 26) & 3
     ta = (fv >> 17) & 0x1FF
     dist = fv & 0x1FFFF
 
-    # ---- 4. init packed plane: delta<<8 | value (delta 0 = resolved) ---
+    # ---- 4. init plane: delta<<16 | (d-1)<<8 | value (delta 0 = done) --
+    # run-extended collapse: q = first chain element BEFORE the whole
+    # same-distance run (rb = run's first output offset), so in-run
+    # deltas point straight at the d pre-run source bytes
     in_range = p < total
     is_m = in_range & (kind == 1)
-    d = jnp.maximum(dist, 1)
-    a = jnp.maximum(p - so, 0)
-    q = so - d + _imod(a, d)  # first chain element < so (or p - d if a < d)
+    d = jnp.clip(dist, 1, MAXD)
+    src0 = rbp - d
+    a = jnp.maximum(p - src0, 0)
+    q = src0 + _imod(a, d)
     q = jnp.clip(q, 0, jnp.maximum(p - 1, 0))
-    D0 = p - q  # in [1, 513]
-    P = jnp.where(is_m, D0 << 8, jnp.where(in_range, ta & 0xFF, 0))
+    D0 = p - q  # multiple of d, up to the run length
+    P = jnp.where(
+        is_m, (D0 << 16) | ((d - 1) << 8), jnp.where(in_range, ta & 0xFF, 0)
+    )
 
-    # ---- 5. resolve rounds: gather parent's packed word ----------------
+    # ---- 5. resolve rounds ---------------------------------------------
     def rnd(P):
-        Dp = P >> 8
-        qq = p - Dp
+        """Near ladder: lanes with delta <= DCLAMP gather their parent's
+        packed word (6 static sublane shifts + lane-gathers); a resolved
+        parent's value is adopted (on-chain => equal value), an
+        unresolved one composes, capped at DCLAMP so reach never grows
+        past the shift window."""
+        Dp = P >> 16
+        act = (Dp > 0) & (Dp <= DCLAMP)
+        qq = p - jnp.where(act, Dp, 0)
         qrb = ri - (qq >> 7)  # rows back, 0..ROWBACK
         ql = qq & 127
         acc = jnp.zeros((R, 128), jnp.int32)
@@ -185,27 +213,34 @@ def _exp3_kernel(
                                       P[: R - k]], axis=0)
             g = _gather_lanes(sh, ql)
             acc = jnp.where(qrb == k, g, acc)
-        Dq = acc >> 8
+        Dq = acc >> 16
         nD = Dp + Dq
         res = jnp.where(
-            Dq == 0, acc & 0xFF, jnp.where(nD <= DCLAMP, nD << 8, P)
+            Dq == 0,
+            acc & 0xFF,
+            jnp.where(nD <= DCLAMP, (nD << 16) | (acc & 0xFF00), P),
         )
-        return jnp.where(Dp > 0, res, P)
+        return jnp.where(act, res, P)
 
     def far_pull(P):
-        """Row-uniform long-range pull: a row whose unresolved lanes all
-        source from one <= 3-row region (every interior row of a
-        constant-distance run, for any run length and d <= 256) adopts
-        resolved parent VALUES via 3 row-one-hot MXU gathers.  This makes
-        resolution depth independent of run length — the ladder above
-        only advances DCLAMP bytes per round, so a megabyte zero-run
-        (d=1 matches) would otherwise cost out_cap/DCLAMP rounds."""
-        Dp = P >> 8
+        """Row-one-hot long-range pull at ANY distance: when a row's far
+        lanes (or, if none, all unresolved lanes) source from one
+        <= 3-row region — every interior row of a constant-distance run —
+        adopt resolved parent VALUES via 3 MXU gathers.  With the
+        run-extended collapse this resolves a whole run one nesting level
+        after its pre-run bytes, independent of run length."""
+        Dp = P >> 16
         unres = Dp > 0
+        far = Dp > DCLAMP
+        # int32 select: a (R,1)-broadcast where() over bool vectors trips
+        # Mosaic ("unsupported target bitwidth for truncation", i8->i1)
+        far_i = far.astype(jnp.int32)
+        farrow = jnp.max(far_i, axis=1, keepdims=True)
+        mask = (far_i * farrow + unres.astype(jnp.int32) * (1 - farrow)) > 0
         qq = p - Dp
         big = jnp.int32(1 << 20)
-        qmn = jnp.min(jnp.where(unres, qq, big), axis=1, keepdims=True)
-        qmx = jnp.max(jnp.where(unres, qq, -1), axis=1, keepdims=True)
+        qmn = jnp.min(jnp.where(mask, qq, big), axis=1, keepdims=True)
+        qmx = jnp.max(jnp.where(mask, qq, -1), axis=1, keepdims=True)
         r0 = jnp.clip(qmn, 0, (R - 1) * 128) >> 7
         uniform = (qmn >= 0) & (qmx - qmn <= 255)
         # one bf16-exact plane: resolved value + 1 in [1, 256], 0 = not
@@ -224,22 +259,53 @@ def _exp3_kernel(
             w = jnp.dot(oh, vps[j], preferred_element_type=jnp.float32)
             g = _gather_lanes(w.astype(jnp.int32), ql)
             got = jnp.where(rj == j, g, got)
-        ok = unres & uniform & (rj >= 0) & (rj <= 2) & (got > 0)
+        ok = mask & uniform & (rj >= 0) & (rj <= 2) & (got > 0)
         return jnp.where(ok, got - 1, P)
+
+    def downgrade(P):
+        """Guaranteed-progress fallback for far lanes far_pull cannot
+        serve (mixed rows spanning two runs): drop the delta to the
+        largest multiple of the lane's own d that fits the near ladder.
+        Valid because far deltas are un-composed init values, which are
+        multiples of d, and every multiple of d below them stays on the
+        equal-value chain."""
+        Dp = P >> 16
+        far = Dp > DCLAMP
+        d = ((P >> 8) & 0xFF) + 1
+        nD = DCLAMP - _imod(jnp.full((R, 128), DCLAMP, jnp.int32), d)
+        return jnp.where(far, (nD << 16) | (P & 0xFF00), P)
 
     P = rnd(rnd(P))
 
+    if fixed_bodies:  # debug: fixed schedule, report unresolved count
+        for i in range(fixed_bodies):
+            if i % 4 == 0:
+                P = far_pull(P)
+            P = rnd(rnd(P))
+            if i == 5:
+                P = downgrade(P)
+        out_ref[0] = jnp.where(
+            in_range, jnp.where(P >= (1 << 16), -1, P & 0xFF), 0
+        )
+        return
+
     def cond(c):
         Pc, r = c
-        return jnp.any((Pc >> 8) > 0) & (r < jnp.int32(R * 128))
+        return jnp.any(Pc >= (1 << 16)) & (r < jnp.int32(R * 128))
 
     def body(c):
-        # far_pull only every 4th iteration: it wins big on long
-        # constant-distance runs (one round regardless of run length)
-        # but costs ~2 ladder rounds, and mixed text rows never qualify
         Pc, r = c
+        # far_pull every 4th body: with the run-extended collapse it
+        # resolves a WHOLE run one nesting level after its pre-run
+        # bytes, so a handful of firings suffice; text rows never
+        # qualify and shouldn't pay for it every body
         Pc = jax.lax.cond(r % 8 == 2, far_pull, lambda x: x, Pc)
-        return rnd(rnd(Pc)), r + 2
+        Pc = rnd(rnd(Pc))
+        # by r == 12 every typical run has resolved via far_pull; any
+        # far lane still alive sits in a mixed row — convert it to the
+        # additive near ladder so the loop provably terminates
+        Pc = jax.lax.cond(r == 12, downgrade, lambda x: x, Pc)
+        return Pc, r + 2
 
     P, _ = jax.lax.while_loop(cond, body, (P, jnp.int32(2)))
 
@@ -266,22 +332,40 @@ def expand_fused3(
     KR = -(-(K + 1) // 128) + 1  # +1 row so the tr+1 window never overruns
     pad = KR * 128 - K
     live = jnp.arange(K, dtype=jnp.int32) < tp[:, None]
+    kind = jnp.clip(c1 >> 9, 0, 3)
+    # maximal same-distance run base per token (one cummax, no gather):
+    # a match token continues its predecessor's run when the predecessor
+    # is a match with the same distance; boundaries carry their own off
+    ism = live & (kind == 1)
+    prev_ism = jnp.pad(ism[:, :-1], ((0, 0), (1, 0)))
+    prev_tb = jnp.pad(tb[:, :-1], ((0, 0), (1, 0)))
+    cont = ism & prev_ism & (tb == prev_tb)
+    cand = jnp.where(ism & ~cont, off, -1)
+    rb = jax.lax.cummax(cand, axis=1)
+    rb = jnp.where(ism, rb, 0)
+
     off = jnp.where(live, off, out_cap)
     off = jnp.pad(off, ((0, 0), (0, pad)), constant_values=out_cap)
-    kind = jnp.clip(c1 >> 9, 0, 3)
     fpk = (kind << 26) | ((c1 & 0x1FF) << 17) | (tb & 0x1FFFF)
     fpk = jnp.pad(jnp.where(live, fpk, 0), ((0, 0), (0, pad)))
+    rb = jnp.pad(rb, ((0, 0), (0, pad)))
 
     off3 = off.reshape(B, KR, 128)
     fpk3 = fpk.reshape(B, KR, 128)
+    rb3 = rb.reshape(B, KR, 128)
     KRL = -(-KR // 128) * 128
     fo = jnp.pad(off3[:, :, 0], ((0, 0), (0, KRL - KR)),
                  constant_values=out_cap)
     fo = jnp.broadcast_to(fo[:, None, :], (B, 8, KRL))
 
+    import os as _os
+
     kern = functools.partial(
-        _exp3_kernel, R=R, KR=KR, KRL=KRL, interp=interpret
+        _exp3_kernel, R=R, KR=KR, KRL=KRL, interp=interpret,
+        fixed_bodies=int(_os.environ.get("TPU_DEFLATE_EXP3_FIXED", "0")),
     )
+    vspec = pl.BlockSpec((1, KR, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=(B,),
@@ -291,13 +375,12 @@ def expand_fused3(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, KRL), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KR, 128), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KR, 128), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            vspec,
+            vspec,
+            vspec,
         ],
         out_specs=pl.BlockSpec((1, R, 128), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tp.astype(jnp.int32), total.astype(jnp.int32), fo, off3, fpk3)
+    )(tp.astype(jnp.int32), total.astype(jnp.int32), fo, off3, fpk3, rb3)
     return out.reshape(B, out_cap)
