@@ -196,45 +196,73 @@ def main():
         result["decode_dynamic_gbps"] = None
     print(json.dumps(result), flush=True)
 
-    # ---------------- full-window encode -------------------------------
+    # ---------------- full-window encode (static, speed) ---------------
     try:
         if over_budget("full-window stage"):
             raise TimeoutError("budget")
         fw_mb = min(size, 2 << 20)  # the sort matcher is O(N log N)-heavy
-        # best-ratio config: full window + dynamic trees + lazy, 256 KiB
-        # chunks (fewer window resets / tree headers; measured 1.062x
-        # zlib-6 size on this corpus vs 1.095x at 64 KiB chunks)
-        fw_chunk = 1 << 18
-        fw_cfg = DeflateConfig(window=32768, max_match=258, lazy=True,
-                               dynamic_encode=True, chunk_size=fw_chunk)
-        nfw = fw_mb // fw_chunk
+        raw = data[:fw_mb]
+        nfw = fw_mb // chunk
         finf = np.zeros(nfw, bool)
         finf[-1] = True
-        fdarr = jnp.asarray(
-            np.frombuffer(data[:fw_mb], np.uint8).reshape(nfw, fw_chunk))
-        fdlens = jnp.full(nfw, fw_chunk, jnp.int32)
+        fw_cfg = DeflateConfig(window=32768, max_match=258, lazy=True,
+                               chunk_size=chunk)
         encf = jax.jit(functools.partial(encode_blocks_batch, config=fw_cfg))
         (outf, sizesf, _), fw_s = timed(
-            encf, fdarr, fdlens, jnp.asarray(finf), reps=1)
+            encf, darr[:nfw], dlens[:nfw], jnp.asarray(finf), reps=1)
         sizesf_h = np.asarray(sizesf)
         bodyf = b"".join(
             np.asarray(outf)[i, : sizesf_h[i]].tobytes() for i in range(nfw)
         )
-        raw = data[:fw_mb]
         assert zlib.decompress(
             b"\x78\x9c" + bodyf + zlib.adler32(raw).to_bytes(4, "big")
         ) == raw
         result["encode_fullwindow_gbps"] = round(fw_mb / fw_s / 1e9, 4)
         result["ratio_fullwindow"] = round(len(bodyf) / fw_mb, 4)
-        z6 = len(zlib.compress(raw, 6))
-        result["ratio_vs_zlib6"] = round(len(bodyf) / z6, 4)
         log(f"full-window encode: {fw_s * 1e3:.1f} ms -> "
             f"{result['encode_fullwindow_gbps']} GB/s, "
-            f"ratio {result['ratio_fullwindow']} "
-            f"({result['ratio_vs_zlib6']}x zlib-6 size)")
+            f"ratio {result['ratio_fullwindow']}")
     except Exception as e:
         log(f"full-window stage failed: {type(e).__name__}: {e}")
         result["encode_fullwindow_gbps"] = None
+    print(json.dumps(result), flush=True)
+
+    # ---------------- best-ratio config vs zlib -6 ----------------------
+    try:
+        if over_budget("best-ratio stage"):
+            raise TimeoutError("budget")
+        # best-ratio config: full window + dynamic trees + lazy, 256 KiB
+        # chunks (fewer window resets / tree headers; measured 1.062x
+        # zlib-6 size on this corpus vs 1.095x at 64 KiB chunks)
+        fw_chunk = 1 << 18
+        br_cfg = DeflateConfig(window=32768, max_match=258, lazy=True,
+                               dynamic_encode=True, chunk_size=fw_chunk)
+        nbr = fw_mb // fw_chunk
+        finb = np.zeros(nbr, bool)
+        finb[-1] = True
+        bdarr = jnp.asarray(
+            np.frombuffer(raw, np.uint8).reshape(nbr, fw_chunk))
+        bdlens = jnp.full(nbr, fw_chunk, jnp.int32)
+        encb = jax.jit(functools.partial(encode_blocks_batch, config=br_cfg))
+        (outb, sizesb, _), br_s = timed(
+            encb, bdarr, bdlens, jnp.asarray(finb), reps=1)
+        sizesb_h = np.asarray(sizesb)
+        bodyb = b"".join(
+            np.asarray(outb)[i, : sizesb_h[i]].tobytes() for i in range(nbr)
+        )
+        assert zlib.decompress(
+            b"\x78\x9c" + bodyb + zlib.adler32(raw).to_bytes(4, "big")
+        ) == raw
+        z6 = len(zlib.compress(raw, 6))
+        result["ratio_best"] = round(len(bodyb) / fw_mb, 4)
+        result["ratio_vs_zlib6"] = round(len(bodyb) / z6, 4)
+        result["encode_best_ratio_gbps"] = round(fw_mb / br_s / 1e9, 4)
+        log(f"best-ratio encode: {br_s * 1e3:.1f} ms, "
+            f"ratio {result['ratio_best']} "
+            f"({result['ratio_vs_zlib6']}x zlib-6 size)")
+    except Exception as e:
+        log(f"best-ratio stage failed: {type(e).__name__}: {e}")
+        result["ratio_vs_zlib6"] = None
     print(json.dumps(result), flush=True)
 
     # ---------------- foreign single zlib stream -----------------------
