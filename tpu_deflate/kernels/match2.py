@@ -134,8 +134,11 @@ def _match2_kernel_hybrid(n_ref, ext_ref, dl_ref, *, window: int,
     best_d = jnp.zeros((LANES, seg), jnp.int32)
     found = jnp.zeros((LANES, seg), bool)
     length = jnp.zeros((LANES, seg), jnp.int32)
-    base = ext
     for c in range(nch):
+        # independent static base roll per channel (no serial chain —
+        # a cumulative base = roll(base, 32) dependency cost ~1.3 ms at
+        # the bench shape)
+        base = pltpu.roll(ext, 32 * c, 1) if c else ext
         chc = jnp.zeros((LANES, E), jnp.uint32)
         for t in range(32):  # static sub-rolls: d = 32c + t + 1
             rolled = pltpu.roll(base, t + 1, 1)[:, halo : halo + E]
@@ -156,8 +159,6 @@ def _match2_kernel_hybrid(n_ref, ext_ref, dl_ref, *, window: int,
             alive = alive & (((chc[:, kk : seg + kk] >> bit) & 1) == 1)
             len_c = len_c + alive.astype(jnp.int32)
         length = length + len_c
-        if c + 1 < nch:
-            base = pltpu.roll(base, 32, 1)  # advance the channel base
     has = found & posok & (best_d <= pos)
     length = jnp.where(has, 3 + length, 0)
     length = jnp.minimum(length, jnp.maximum(n - pos, 0))
