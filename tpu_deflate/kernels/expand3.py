@@ -95,6 +95,7 @@ def _exp3_kernel(
     off_ref, fpk_ref, rb_ref,  # (1, KR, 128) int32 token planes
     out_ref,  # (1, R, 128) int32
     *, R: int, KR: int, KRL: int, interp: bool, fixed_bodies: int = 0,
+    sched: str = "dyadic",
 ):
     total = tot_ref[pl.program_id(0)]
     fo8 = fo_ref[0]  # (8, KRL), all sublanes equal
@@ -275,6 +276,78 @@ def _exp3_kernel(
         nD = DCLAMP - _imod(jnp.full((R, 128), DCLAMP, jnp.int32), d)
         return jnp.where(far, (nD << 16) | (P & 0xFF00), P)
 
+    if sched == "dyadic":
+        # ---- dyadic transfer-map resolve: deterministic log depth ------
+        # Representation: P = value (< 256) OR (w'+1) << 16, where w' is
+        # the target's offset into the 768-byte window [row_base - 640,
+        # row_base + 128) — in-row targets have w' >= 640.  After the
+        # leaf phase all pointers are strictly before their own row
+        # (w' < 640), re-read RELATIVE TO THE CURRENT LEVEL'S BLOCK BASE:
+        # at level k a pointer of p means position base_k(p) - 640 + w'.
+        # Composing the upper half of each 2^(k+1)-row block:
+        #   * target inside the lower half  -> gather its state; values
+        #     adopt; pointers adopt VERBATIM (the lower half's base IS
+        #     the combined base);
+        #   * target before the lower half (k < 3 only) -> arithmetic
+        #     rebase w' += 128*2^k (no gather).
+        # Every position composes exactly once per level -> log2(R)
+        # levels total, no data-dependent loop, no while/any syncs.
+        # dyadic needs deltas <= 640 (5-row window), independent of the
+        # wave path's configurable DCLAMP
+        Dp0 = P >> 16
+        dd = ((P >> 8) & 0xFF) + 1
+        nD = 640 - _imod(jnp.full((R, 128), 640, jnp.int32), dd)
+        P = jnp.where(Dp0 > 640, (nD << 16) | (P & 0xFF00), P)
+        Dp = P >> 16
+        # convert delta-packing to window-packing (row window is 640+128)
+        wprime = 640 - Dp + (p & 127)
+        P = jnp.where(Dp > 0, (wprime + 1) << 16, P & 0xFF)
+
+        def leaf_round(P):
+            ptr = P >> 16
+            inrow = ptr > 640  # w' >= 640  <=>  w'+1 > 640
+            ql = jnp.clip(ptr - 641, 0, 127)
+            g = _gather_lanes(P, ql)
+            return jnp.where(inrow, g, P)
+
+        for _ in range(7):  # in-row chains <= 128 links
+            P = leaf_round(P)
+
+        nlev = int(np.log2(R))
+        for k in range(nlev):
+            bs = 1 << k
+            half_bytes = bs * 128
+            ptr = P >> 16
+            is_ptr = ptr > 0
+            wp = ptr - 1
+            uh = ((ri >> k) & 1) == 1
+            # stripe planes: W_j[r] = P[base_k_row(r) - 5 + j], built as
+            # a static (5-j)-row down-shift + block-local row-0 broadcast
+            j = jnp.clip(wp >> 7, 0, 4)
+            ql = wp & 127
+            got = jnp.zeros((R, 128), jnp.int32)
+            for jj in range(5):
+                sh = 5 - jj
+                Ssh = jnp.concatenate(
+                    [jnp.zeros((sh, 128), jnp.int32), P[: R - sh]], axis=0
+                )
+                if bs > 1:
+                    Wb = Ssh.reshape(R // bs, bs, 128)[:, 0:1, :]
+                    Wj = jnp.broadcast_to(Wb, (R // bs, bs, 128)).reshape(
+                        R, 128
+                    )
+                else:
+                    Wj = Ssh
+                g = _gather_lanes(Wj, ql)
+                got = jnp.where(j == jj, g, got)
+            in_lower = wp >= (640 - half_bytes)  # q >= base_{k+1}
+            rebased = ((wp + half_bytes + 1) << 16)
+            newP = jnp.where(in_lower, got, rebased)
+            P = jnp.where(uh & is_ptr, newP, P)
+
+        out_ref[0] = jnp.where(in_range, P & 0xFF, 0)
+        return
+
     P = rnd(rnd(P))
 
     if fixed_bodies:  # debug: fixed schedule, report unresolved count
@@ -360,9 +433,13 @@ def expand_fused3(
 
     import os as _os
 
+    sched = _os.environ.get("TPU_DEFLATE_EXP3_SCHED", "dyadic")
+    if sched == "dyadic" and (R & (R - 1)):
+        sched = "wave"  # dyadic needs a power-of-two row count
     kern = functools.partial(
         _exp3_kernel, R=R, KR=KR, KRL=KRL, interp=interpret,
         fixed_bodies=int(_os.environ.get("TPU_DEFLATE_EXP3_FIXED", "0")),
+        sched=sched,
     )
     vspec = pl.BlockSpec((1, KR, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
