@@ -290,42 +290,66 @@ def _lane_exscan(x, width: int):
 def _k3_kernel(
     end_ref, bT_ref, m0p_ref, ent_ref, tok_ref, meta_ref,
     w_scr, sl_scr,
-    *, t64: int, tokrows: int, wr: int,
+    *, t64: int, tokrows: int, wr: int, chunk: int,
 ):
     b = pl.program_id(0)
     end_bit = end_ref[b]
     tok_ref[0] = jnp.zeros_like(tok_ref[0])
     bT = bT_ref[0].astype(jnp.uint32)
     lo8, hi8 = _windows(bT)
-    m0p_rows = [m0p_ref[0, g, :] for g in range(16)]
 
-    cur = ent_ref[0, 0, :].reshape(1, t64)
-    tvec = jax.lax.broadcasted_iota(jnp.int32, (1, t64), 1)
-    bad_any = jnp.zeros((1, t64), bool)
-    eob_bit = jnp.full((1, t64), -1, jnp.int32)
+    # ---- walk: <= WLK symbol visits per tile, chunked over columns so
+    # chunks wholly past end_bit skip the symbol re-derivation (at typical
+    # ratios ~40% of the position window is beyond the stream).  Per-chunk
+    # EOB/bad reductions land in two extra w_scr rows.  Refs are loaded
+    # full-row OUTSIDE the conds (Mosaic lowers an offset ref-slice load
+    # inside a cond as an unsupported >2D gather); chunks slice the values.
+    m0p_full = [m0p_ref[0, g, :] for g in range(16)]
+    ent_row = ent_ref[0, 0, :]
+    for c in range(t64 // chunk):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        live_c = TILE * (c * chunk) < end_bit
 
-    # ---- walk: <= WLK symbol visits per tile --------------------------
-    for s in range(WLK):
-        inb = cur < TILE
-        a = jnp.clip(cur >> 3, 0, 7)
-        lo = jnp.zeros((1, t64), jnp.uint32)
-        hi = jnp.zeros((1, t64), jnp.uint32)
-        for v in range(8):
-            lo = jnp.where(a == v, lo8[v][None, :], lo)
-            hi = jnp.where(a == v, hi8[v][None, :], hi)
-        get = _mkget(lo, hi, cur & 7)
-        kind, _adv, ta, dist = _static_sym(get)
-        oob = TILE * tvec + cur >= end_bit
-        kind = jnp.where(inb & ~oob, kind, K_BAD)
-        is_tok = inb & ((kind == K_LIT) | (kind == K_MATCH))
-        tk = jnp.where(kind == K_MATCH, 1, 0)
-        packed = (tk << 26) | (ta << 17) | (dist & 0x1FFFF)
-        w_scr[s, :] = jnp.where(is_tok, packed, -1)[0]
-        bad_any = bad_any | (inb & (kind == K_BAD) & ~(cur >= TILE))
-        eob_bit = jnp.maximum(
-            eob_bit, jnp.where(inb & (kind == K_EOB), TILE * tvec + cur, -1)
-        )
-        cur = _sel_packed(m0p_rows, cur)
+        @pl.when(live_c)
+        def _(sl=sl, c=c):
+            m0p_rows = [r[sl] for r in m0p_full]
+            lo8c = [lo8[v][sl].reshape(1, chunk) for v in range(8)]
+            hi8c = [hi8[v][sl].reshape(1, chunk) for v in range(8)]
+            cur = ent_row[sl].reshape(1, chunk)
+            tvec = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                    + c * chunk)
+            bad_col = jnp.zeros((1, chunk), bool)
+            eob_col = jnp.full((1, chunk), -1, jnp.int32)
+            for s in range(WLK):
+                inb = cur < TILE
+                a = jnp.clip(cur >> 3, 0, 7)
+                lo = jnp.zeros((1, chunk), jnp.uint32)
+                hi = jnp.zeros((1, chunk), jnp.uint32)
+                for v in range(8):
+                    lo = jnp.where(a == v, lo8c[v], lo)
+                    hi = jnp.where(a == v, hi8c[v], hi)
+                get = _mkget(lo, hi, cur & 7)
+                kind, _adv, ta, dist = _static_sym(get)
+                oob = TILE * tvec + cur >= end_bit
+                kind = jnp.where(inb & ~oob, kind, K_BAD)
+                is_tok = inb & ((kind == K_LIT) | (kind == K_MATCH))
+                tk = jnp.where(kind == K_MATCH, 1, 0)
+                packed = (tk << 26) | (ta << 17) | (dist & 0x1FFFF)
+                w_scr[s, sl] = jnp.where(is_tok, packed, -1)[0]
+                bad_col = bad_col | (inb & (kind == K_BAD))
+                eob_col = jnp.maximum(
+                    eob_col,
+                    jnp.where(inb & (kind == K_EOB), TILE * tvec + cur, -1),
+                )
+                cur = _sel_packed(m0p_rows, cur)
+            w_scr[WLK, sl] = eob_col[0]
+            w_scr[WLK + 1, sl] = bad_col[0].astype(jnp.int32)
+
+        @pl.when(jnp.logical_not(live_c))
+        def _(sl=sl):
+            w_scr[:WLK, sl] = jnp.full((WLK, chunk), -1, jnp.int32)
+            w_scr[WLK, sl] = jnp.full((chunk,), -1, jnp.int32)
+            w_scr[WLK + 1, sl] = jnp.zeros((chunk,), jnp.int32)
 
     # ---- per-tile counts, global scans ---------------------------------
     W = [w_scr[s, :].reshape(1, t64) for s in range(WLK)]
@@ -352,8 +376,8 @@ def _k3_kernel(
         sl_scr[s, :] = jnp.where(live[s], slot, tokcap + 1024)[0]
         slot = slot + live[s].astype(jnp.int32)
 
-    eob_at = jnp.max(eob_bit)
-    bad = jnp.any(bad_any)
+    eob_at = jnp.max(w_scr[WLK, :])
+    bad = jnp.max(w_scr[WLK + 1, :]) > 0
     toofar = jnp.any(too_far)
     cap_ok = ntok < tokcap - 8
     anybad = bad | toofar | ~cap_ok
@@ -371,7 +395,10 @@ def _k3_kernel(
     # and the contraction over src = lanes of both operands (A @ B^T on
     # the MXU) — the earlier formulation transposed rel/v to sublanes per
     # visit, 2 vector transposes x WLK x t64/128 per lane, which
-    # dominated this kernel (~27 of its 37 ms per 8 MiB).
+    # dominated this kernel (~27 of its 37 ms per 8 MiB).  The 4 value
+    # channels are stacked along M into ONE (4*wr, 128) operand so the
+    # (128, 128) one-hot loads into the MXU once per visit, not 4x; a
+    # chunk whose tiles hold no live tokens skips its visits entirely.
     wrow = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 0)
     si128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)  # sublane ids
     dotT = functools.partial(
@@ -383,26 +410,31 @@ def _k3_kernel(
     def chunk_body(i, _):
         idx = pl.multiple_of(i * 128, 128)
         slots = sl_scr[:, pl.ds(idx, 128)]  # (WLK, 128) absolute slots
-        toks = w_scr[:, pl.ds(idx, 128)]
-        row0 = jnp.clip(jnp.min(slots) >> 7, 0, tokrows - wr)
-        accs = [jnp.zeros((wr, 128), jnp.float32) for _ in range(4)]
-        for s in range(WLK):
-            rel = (slots[s] - row0 * 128)[None, :]  # (1, 128) lane-major
-            ok = (rel >= 0) & (rel < wr * 128)
-            ohr = ((rel >> 7) == wrow) & ok  # (wr, 128)
-            m1 = si128 == (rel & 127)  # (128k, 128src)
-            m1b = m1.astype(jnp.bfloat16)
-            v = jnp.where(ok, toks[s], 0)
-            for j in range(4):
-                vp = ((v >> (8 * j)) & 0xFF).astype(jnp.bfloat16)
-                accs[j] = accs[j] + dotT(ohr.astype(jnp.bfloat16) * vp, m1b)
-        paint = (
-            accs[0].astype(jnp.int32)
-            + (accs[1].astype(jnp.int32) << 8)
-            + (accs[2].astype(jnp.int32) << 16)
-            + (accs[3].astype(jnp.int32) << 24)
-        )
-        tok_ref[0, pl.ds(row0, wr), :] = tok_ref[0, pl.ds(row0, wr), :] + paint
+        has = jnp.min(slots) < tokcap
+
+        @pl.when(has)
+        def _():
+            toks = w_scr[:WLK, pl.ds(idx, 128)]
+            row0 = jnp.clip(jnp.min(slots) >> 7, 0, tokrows - wr)
+            acc = jnp.zeros((4 * wr, 128), jnp.float32)
+            for s in range(WLK):
+                rel = (slots[s] - row0 * 128)[None, :]  # (1, 128) lane-major
+                ok = (rel >= 0) & (rel < wr * 128)
+                ohr = (((rel >> 7) == wrow) & ok).astype(jnp.bfloat16)
+                m1b = (si128 == (rel & 127)).astype(jnp.bfloat16)
+                v = jnp.where(ok, toks[s], 0)
+                stacked = jnp.concatenate(
+                    [ohr * ((v >> (8 * j)) & 0xFF).astype(jnp.bfloat16)
+                     for j in range(4)],
+                    axis=0,
+                )
+                acc = acc + dotT(stacked, m1b)
+            ch = [acc[j * wr:(j + 1) * wr].astype(jnp.int32) for j in range(4)]
+            paint = ch[0] + (ch[1] << 8) + (ch[2] << 16) + (ch[3] << 24)
+            tok_ref[0, pl.ds(row0, wr), :] = (
+                tok_ref[0, pl.ds(row0, wr), :] + paint
+            )
+
         return 0
 
     jax.lax.fori_loop(0, t64 // 128, chunk_body, 0)
@@ -452,10 +484,10 @@ def tokenize_static_batch(
                 return d * 128
         return 128
 
-    chunk = _pick(1664)  # K1 plane/doubling columns per chunk
+    chunk = _pick(1664)  # K1/K3 plane/walk columns per chunk
     tslab = _pick(640)  # K2 tiles per grid step
-    tokrows = _ceil(min(WLK * t64, pw // 8 + 64), 128) + 2
-    wr = WLK * 128 // 128 + 2  # window rows: <= 9*128 slots + alignment
+    wr = 16  # window rows: <= 9*128+127 slots; 16 keeps 4*wr slices 8-aligned
+    tokrows = max(_ceil(min(WLK * t64, pw // 8 + 64), 128) + 2, wr)
 
     need = pw // 8 + 16
     if M >= need:
@@ -510,7 +542,9 @@ def tokenize_static_batch(
     ent = entT.T[:B].reshape(B, 1, t64)
 
     tok, meta = pl.pallas_call(
-        functools.partial(_k3_kernel, t64=t64, tokrows=tokrows, wr=wr),
+        functools.partial(
+            _k3_kernel, t64=t64, tokrows=tokrows, wr=wr, chunk=chunk
+        ),
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -529,7 +563,7 @@ def tokenize_static_batch(
             pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((WLK, t64), jnp.int32),
+            pltpu.VMEM((WLK + 2, t64), jnp.int32),
             pltpu.VMEM((WLK, t64), jnp.int32),
         ],
         interpret=interpret,

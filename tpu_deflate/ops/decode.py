@@ -71,6 +71,18 @@ ERR_STORED = 6
 ERR_INPUT = 7
 ERR_DYNAMIC = 8  # static_only tokenizer met a dynamic-tree block
 
+# readable names for raising typed errors on corrupt input — the analog
+# of the reference's in-FSM ``raise Error("Bad method" / "Wrong distance"
+# / ...)`` diagnostics (/root/reference/deflate.py:721,1506-1508,1535-1539)
+ERR_NAMES = {
+    ERR_METHOD: "bad block method",
+    ERR_BAD_CODE: "invalid Huffman code",
+    ERR_BAD_SYM: "invalid symbol",
+    ERR_DIST: "back-reference distance before stream start",
+    ERR_STORED: "malformed stored block",
+    ERR_INPUT: "truncated stream (ran past end without EOB)",
+}
+
 # candidate kinds packed into the per-position plane
 K_LIT = 0
 K_EOB = 1
@@ -1461,7 +1473,11 @@ def inflate_device(
                 "deflate.py:25)"
             )
         if err != ERR_OK:
-            raise ValueError(f"inflate error code {err}")
+            from tpu_deflate.ref.inflate import DeflateError
+
+            raise DeflateError(
+                f"corrupt stream: {ERR_NAMES.get(err, f'error code {err}')}"
+            )
         out, total = expand(arr, tk, ta, tb, tp, out_cap=cap)
         return np.asarray(out), int(total), int(pos)
 
@@ -1561,11 +1577,13 @@ def zlib_decompress_device(data: bytes, config: DeflateConfig = DeflateConfig())
     blocks); ``one_block`` stops after the first block."""
     from tpu_deflate.ops.checksum import adler32_jax
 
+    from tpu_deflate.ref.inflate import DeflateError
+
     if len(data) < 6:
-        raise ValueError("zlib stream too short")
+        raise DeflateError("zlib stream too short")
     cmf, flg = data[0], data[1]
     if cmf & 0x0F != 8 or (cmf << 8 | flg) % 31 != 0:
-        raise ValueError("bad zlib header")
+        raise DeflateError("bad zlib header")
     out, total, end_bit = inflate_device(
         data,
         start_bit=16,
@@ -1576,5 +1594,5 @@ def zlib_decompress_device(data: bytes, config: DeflateConfig = DeflateConfig())
     expect = int.from_bytes(data[trailer_at : trailer_at + 4], "big")
     got = int(adler32_jax(jnp.asarray(out), total))
     if got != expect:
-        raise ValueError(f"Adler-32 mismatch {got:#x} != {expect:#x}")
+        raise DeflateError(f"Adler-32 mismatch {got:#x} != {expect:#x}")
     return out[:total].tobytes()
