@@ -163,64 +163,78 @@ CSLAB_ROWS = CSLAB // 128
 CWIN_ROWS = CSLAB_ROWS + 1  # slots advance <= 1 per entry -> tight window
 
 
-def _compact_kernel(idx_ref, val_ref, out_ref, C: int, nrows_out: int):
+def _compact_kernel(idx_ref, val_ref, out_ref, C: int, nrows_out: int,
+                    size: int):
     """One input slab -> window-bounded one-hot paint of C channels.
 
     Targets are nondecreasing and advance <= CSLAB per slab, so each slab
     touches <= CWIN_ROWS output rows.  The window base comes from an
     in-kernel min reduce (dead idx >= size never win), so there is no SMEM
-    operand and the kernel is vmap-safe.  Grid is (T,) sequential."""
+    operand and the kernel is vmap-safe.  Grid is (T,) sequential.  A slab
+    whose entries are ALL dead (idx >= size, value 0 by the caller's
+    contract) paints only zeros, so it is skipped outright — in the
+    boundary-chase tokenizer the tail of the position window beyond the
+    stream end is all-dead, and under vmap each skipped slab saves a full
+    (CSLAB, 128) one-hot build + 4 MXU passes per lane."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _init():
         out_ref[:, :, :] = jnp.zeros_like(out_ref)
 
-    G = CSLAB
-    gi = jax.lax.broadcasted_iota(jnp.int32, (G, CSLAB_ROWS), 0) >> 7
-    es = (gi == jax.lax.broadcasted_iota(jnp.int32, (G, CSLAB_ROWS), 1)).astype(
-        jnp.float32
-    )
-    ci = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 0) & 127
-    maskc = (ci == jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)).astype(
-        jnp.float32
-    )
-
-    def bdot(a, b_):
-        return jnp.dot(
-            a.astype(jnp.bfloat16),
-            b_.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-
-    def flatten(tile):
-        hi = jnp.floor(tile * (1.0 / 256.0))
-        lo = tile - hi * 256.0
-        return (
-            jnp.sum(bdot(es, hi) * maskc, axis=1, keepdims=True) * 256.0
-            + jnp.sum(bdot(es, lo) * maskc, axis=1, keepdims=True)
-        )
-
-    WIN = CWIN_ROWS * 128
     tile_i = idx_ref[pl.ds(t * CSLAB_ROWS, CSLAB_ROWS), :]
-    row0 = jnp.clip(jnp.min(tile_i) >> 7, 0, nrows_out - CWIN_ROWS)
-    base = (row0 * 128).astype(jnp.float32)
-    rel = flatten(jnp.clip(tile_i.astype(jnp.float32) - base, 0.0, float(WIN)))
-    rrow = jnp.floor(rel * (1.0 / 128.0))
-    rlane = rel - rrow * 128.0
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (CWIN_ROWS, G), 0).astype(jnp.float32)
-    oh_rT = (rrow.T == wiota).astype(jnp.float32)  # (CWIN_ROWS, G)
-    liota = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1).astype(jnp.float32)
-    inw = (rel >= 0.0) & (rel < float(WIN))
-    oh_l = (rlane == liota).astype(jnp.float32) * inw.astype(jnp.float32)
+    has_live = jnp.min(tile_i) < size
 
-    for c in range(C):
-        vcol = flatten(val_ref[c, pl.ds(t * CSLAB_ROWS, CSLAB_ROWS), :].astype(jnp.float32))
-        vh = jnp.floor(vcol * (1.0 / 256.0))
-        vl = vcol - vh * 256.0
-        paint = bdot(oh_rT, oh_l * vh) * 256.0 + bdot(oh_rT, oh_l * vl)
-        cur = out_ref[c, pl.ds(row0, CWIN_ROWS), :]
-        out_ref[c, pl.ds(row0, CWIN_ROWS), :] = cur + paint.astype(jnp.int32)
+    @pl.when(has_live)
+    def _paint():
+        G = CSLAB
+        gi = jax.lax.broadcasted_iota(jnp.int32, (G, CSLAB_ROWS), 0) >> 7
+        es = (gi == jax.lax.broadcasted_iota(
+            jnp.int32, (G, CSLAB_ROWS), 1)).astype(jnp.float32)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 0) & 127
+        maskc = (ci == jax.lax.broadcasted_iota(
+            jnp.int32, (G, 128), 1)).astype(jnp.float32)
+
+        def bdot(a, b_):
+            return jnp.dot(
+                a.astype(jnp.bfloat16),
+                b_.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+
+        def flatten(tile):
+            hi = jnp.floor(tile * (1.0 / 256.0))
+            lo = tile - hi * 256.0
+            return (
+                jnp.sum(bdot(es, hi) * maskc, axis=1, keepdims=True) * 256.0
+                + jnp.sum(bdot(es, lo) * maskc, axis=1, keepdims=True)
+            )
+
+        WIN = CWIN_ROWS * 128
+        row0 = jnp.clip(jnp.min(tile_i) >> 7, 0, nrows_out - CWIN_ROWS)
+        base = (row0 * 128).astype(jnp.float32)
+        rel = flatten(
+            jnp.clip(tile_i.astype(jnp.float32) - base, 0.0, float(WIN)))
+        rrow = jnp.floor(rel * (1.0 / 128.0))
+        rlane = rel - rrow * 128.0
+        wiota = jax.lax.broadcasted_iota(
+            jnp.int32, (CWIN_ROWS, G), 0).astype(jnp.float32)
+        oh_rT = (rrow.T == wiota).astype(jnp.float32)  # (CWIN_ROWS, G)
+        liota = jax.lax.broadcasted_iota(
+            jnp.int32, (G, 128), 1).astype(jnp.float32)
+        inw = (rel >= 0.0) & (rel < float(WIN))
+        oh_l = (rlane == liota).astype(jnp.float32) * inw.astype(jnp.float32)
+
+        for c in range(C):
+            vcol = flatten(
+                val_ref[c, pl.ds(t * CSLAB_ROWS, CSLAB_ROWS), :].astype(
+                    jnp.float32))
+            vh = jnp.floor(vcol * (1.0 / 256.0))
+            vl = vcol - vh * 256.0
+            paint = bdot(oh_rT, oh_l * vh) * 256.0 + bdot(oh_rT, oh_l * vl)
+            cur = out_ref[c, pl.ds(row0, CWIN_ROWS), :]
+            out_ref[c, pl.ds(row0, CWIN_ROWS), :] = cur + paint.astype(
+                jnp.int32)
 
 
 def mono_compact(idx: jax.Array, vals: jax.Array, size: int,
@@ -244,7 +258,7 @@ def mono_compact(idx: jax.Array, vals: jax.Array, size: int,
     nrows = -(-size // 128) + CWIN_ROWS
     idx3 = idx.reshape(Kp // 128, 128)
     val3 = vals.reshape(C, Kp // 128, 128)
-    kern = functools.partial(_compact_kernel, C=C, nrows_out=nrows)
+    kern = functools.partial(_compact_kernel, C=C, nrows_out=nrows, size=size)
     out = pl.pallas_call(
         kern,
         grid=(T,),
