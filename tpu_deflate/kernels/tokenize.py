@@ -75,13 +75,16 @@ def _rev9(x):
     return (x >> 7).astype(jnp.int32)
 
 
-def _static_sym(get):
+def _static_sym(get, need_fields: bool = True):
     """Closed-form static-Huffman symbol decode (RFC 1951 3.2.6).
 
     Same arithmetic as ops/decode._candidate_plane_static (see its
     docstring for the derivation); layout-generic via the ``get(shift,
     nbits)`` bit-window closure.  Returns (kind, adv, ta, dist) where
     ta = literal byte or match length and adv = total bits consumed.
+    With need_fields=False only (kind, adv) are valid — K1 builds maps
+    from adv alone, so the dist-extra window read and the field
+    arithmetic are skipped rather than trusting Mosaic to DCE them.
     """
     v9 = _rev9(get(0, 9))
     c7 = v9 >> 2
@@ -101,11 +104,10 @@ def _static_sym(get):
     is_eob = sym == 256
     i = jnp.clip(sym - 257, 0, 28)
     ebits = jnp.clip((i >> 2) - 1, 0, 5)
-    lbase = jnp.where(i < 8, i + 3, ((4 + (i & 3)) << ebits) + 3)
-    lbase = jnp.where(i == 28, 258, lbase)
+    if need_fields:
+        lbase = jnp.where(i < 8, i + 3, ((4 + (i & 3)) << ebits) + 3)
+        lbase = jnp.where(i == 28, 258, lbase)
     ebits = jnp.where(i == 28, 0, ebits)
-    lext = get(nb, 5) & ((1 << ebits) - 1)
-    length = lbase + lext
     is_m = ~is_lit & ~is_eob & ~bad
 
     doff = nb + jnp.where(is_m, ebits, 0)
@@ -113,9 +115,6 @@ def _static_sym(get):
     dsym = ((d5 & 1) << 4) | ((d5 & 2) << 2) | (d5 & 4) | ((d5 >> 2) & 2) | (d5 >> 4)
     bad_d = dsym > 29
     debits = jnp.clip((dsym >> 1) - 1, 0, 13)
-    dbase = jnp.where(dsym < 2, dsym + 1, ((2 + (dsym & 1)) << debits) + 1)
-    dext = get(doff + 5, 13) & ((1 << debits) - 1)
-    dist = dbase + dext
 
     kind = jnp.where(
         bad | (is_m & bad_d),
@@ -124,6 +123,14 @@ def _static_sym(get):
     )
     is_m = kind == K_MATCH
     adv = jnp.where(is_m, nb + ebits + 5 + debits, jnp.where(kind == K_BAD, 1, nb))
+    if not need_fields:
+        zero = jnp.zeros_like(adv)
+        return kind, adv, zero, zero
+    lext = get(nb, 5) & ((1 << ebits) - 1)
+    length = lbase + lext
+    dbase = jnp.where(dsym < 2, dsym + 1, ((2 + (dsym & 1)) << debits) + 1)
+    dext = get(doff + 5, 13) & ((1 << debits) - 1)
+    dist = dbase + dext
     ta = jnp.where(kind == K_LIT, sym, jnp.where(is_m, length, 0))
     return kind, adv, ta, jnp.where(is_m, dist, 0)
 
@@ -216,7 +223,7 @@ def _k1_kernel(end_ref, bT_ref, m0p_ref, phiP_ref, *, t64: int, chunk: int):
             jj = ((r0 & 7) << 3) | (r0 >> 3)
             tt = jax.lax.broadcasted_iota(jnp.int32, (TILE, chunk), 1) + c * chunk
             get = _mkget(lo, hi, r0 >> 3)
-            kind, adv, _ta, _dist = _static_sym(get)
+            kind, adv, _ta, _dist = _static_sym(get, need_fields=False)
             oob = TILE * tt + jj >= end_bit
             kind = jnp.where(oob, K_BAD, kind)
             term = (kind == K_EOB) | (kind == K_BAD)
