@@ -271,7 +271,9 @@ def main():
             raise TimeoutError("budget")
         from tpu_deflate.ops.decode import inflate_device
 
-        fsize = min(size, 1 << 20)
+        # full-corpus stream (>= 8 MiB): zlib -6 emits a block per ~16 K
+        # symbols, so the multi-block per-block fixed costs are visible
+        fsize = size
         fraw = data[:fsize]
         fstream = zlib.compress(fraw, 6)
         t0 = time.perf_counter()

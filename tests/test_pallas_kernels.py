@@ -157,6 +157,31 @@ def test_mono_compact_matches_scatter(seed):
     np.testing.assert_array_equal(got, exp)
 
 
+def test_mono_compact_all_dead_slabs():
+    """Deterministic coverage of the has_live skip branch: live entries
+    confined to slab 0, slabs 1 and 2 (including the tail slab) entirely
+    dead, with a dead idx exactly at the size boundary.  The skip must be
+    behavior-preserving even for dead entries carrying NONZERO values,
+    which land at out index >= size and fall to the [:size] trim."""
+    from tpu_deflate.kernels.monotone import CSLAB, mono_compact
+
+    K, size = 3 * CSLAB, 4096
+    nlive = 100
+    idx = np.full(K, size, np.int32)
+    idx[:nlive] = np.arange(nlive, dtype=np.int32)  # live: slab 0 only
+    idx[nlive] = size  # dead exactly at the size boundary
+    idx[CSLAB:] = size + np.arange(2 * CSLAB, dtype=np.int32) % 7
+    rng = np.random.default_rng(3)
+    vals = rng.integers(1, 1 << 14, (2, K)).astype(np.int32)  # dead != 0
+    got = np.asarray(
+        mono_compact(jnp.asarray(idx), jnp.asarray(vals), size, interpret=True)
+    )
+    exp = np.zeros((2, size), np.int32)
+    for c in range(2):
+        np.add.at(exp[c], idx[:nlive], vals[c][:nlive])
+    np.testing.assert_array_equal(got, exp)
+
+
 # ---------------------------------------------------------------------------
 # Batched bitplane matcher kernel (kernels/match2.py, interpret mode)
 # ---------------------------------------------------------------------------

@@ -66,6 +66,26 @@ class TestShardedEncode:
         )
         assert int(adler) == zlib.adler32(data)
 
+    def test_adler_fold_large_chunks_no_overflow(self):
+        """Regression: the (a,b,len) combine's rem*(a1-1) product exceeds
+        int32 at chunk lengths >= ~16 KiB (32768 * 65520 + b ≈ 2^31); the
+        split-multiply form must match zlib for 32 KiB chunks."""
+        from tpu_deflate.config import DeflateConfig
+
+        mesh = make_mesh()
+        # adversarial content: drive the running a-state high before the
+        # fold so (a1-1) % 65521 is large at every chunk boundary
+        rng = np.random.default_rng(65521)
+        data = rng.integers(128, 256, 4 * 32768, np.uint8).tobytes()
+        cfg = DeflateConfig(window=256, max_match=10, chunk_size=32768)
+        arr, lens, finals, nchunks = _chunk_batch(
+            data, 32768, len(jax.devices())
+        )
+        _, _, adler = encode_sharded(
+            jnp.asarray(arr), jnp.asarray(lens), jnp.asarray(finals), mesh, cfg
+        )
+        assert int(adler) == zlib.adler32(data)
+
     def test_device_side_assembly(self):
         mesh = make_mesh()
         data = b"".join(corpus(m, 3000) for m in [1, 2, 4, 6])

@@ -171,8 +171,11 @@ def _compact_kernel(idx_ref, val_ref, out_ref, C: int, nrows_out: int,
     touches <= CWIN_ROWS output rows.  The window base comes from an
     in-kernel min reduce (dead idx >= size never win), so there is no SMEM
     operand and the kernel is vmap-safe.  Grid is (T,) sequential.  A slab
-    whose entries are ALL dead (idx >= size, value 0 by the caller's
-    contract) paints only zeros, so it is skipped outright — in the
+    whose entries are ALL dead (idx >= size) is skipped outright: its
+    window base clips to nrows_out - CWIN_ROWS, i.e. >= ceil(size/128)
+    rows, so every paint it could make lands at an out index >= size and
+    is discarded by mono_compact's final [:size] trim — the skip is
+    behavior-preserving for ANY dead values, not just zeros.  In the
     boundary-chase tokenizer the tail of the position window beyond the
     stream end is all-dead, and under vmap each skipped slab saves a full
     (CSLAB, 128) one-hot build + 4 MXU passes per lane."""

@@ -23,12 +23,20 @@ _SEG = 2048  # 2048 * 2048 * 255 < 2^31
 
 
 def adler32_pair_combine(p1, p2):
-    """Combine (a, b, len) adler states of two concatenated streams."""
+    """Combine (a, b, len) adler states of two concatenated streams.
+
+    int32-safe for ANY segment length: rem and (a1-1)%MOD are both up to
+    65520, so the naive product reaches ~2^32 and wraps (it bit the
+    sharded encode fold at 32 KiB chunks); split the multiplicand into
+    8-bit halves so every intermediate stays under 2^25."""
     a1, b1, l1 = p1
     a2, b2, l2 = p2
     rem = l2 % ADLER_MOD
+    x = (a1 - 1) % ADLER_MOD
+    xh, xl = x >> 8, x & 0xFF
+    t = ((rem * xh) % ADLER_MOD * 256 + rem * xl) % ADLER_MOD
     a = (a1 + a2 - 1) % ADLER_MOD
-    b = (b1 + b2 + rem * ((a1 - 1) % ADLER_MOD)) % ADLER_MOD
+    b = (b1 + b2 + t) % ADLER_MOD
     return a, b, l1 + l2
 
 

@@ -35,15 +35,12 @@ def make_mesh(devices=None, axis: str = "dp") -> Mesh:
 
 
 def _adler_fold(a: jax.Array, b: jax.Array, lens: jax.Array):
-    """Fold per-chunk (a, b, len) Adler states left-to-right (device)."""
+    """Fold per-chunk (a, b, len) Adler states left-to-right (device);
+    delegates to the int32-overflow-safe associative combine."""
+    from tpu_deflate.ops.checksum import adler32_pair_combine
 
     def step(carry, x):
-        a1, b1, l1 = carry
-        a2, b2, l2 = x
-        rem = l2 % ADLER_MOD
-        a_ = (a1 + a2 - 1) % ADLER_MOD
-        b_ = (b1 + b2 + rem * ((a1 - 1) % ADLER_MOD)) % ADLER_MOD
-        return (a_, b_, l1 + l2), None
+        return adler32_pair_combine(carry, x), None
 
     (fa, fb, fl), _ = jax.lax.scan(
         step, (jnp.int32(1), jnp.int32(0), jnp.int32(0)), (a, b, lens)
