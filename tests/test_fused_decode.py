@@ -191,6 +191,170 @@ class TestExpandFused2:
             assert got == p
 
 
+class TestTokenizeDynFused:
+    """Parity of the fused dynamic tokenizer (kernels/tokenize_dyn.py)
+    against the XLA tokenize, per lane, for dynamic- and static-tree
+    blocks with per-lane comparison-decode tables."""
+
+    CH = 3072
+
+    @pytest.fixture(scope="class")
+    def dyn_container(self, rng):
+        import os
+
+        from tpu_deflate.config import DeflateConfig
+        from tpu_deflate.ops.encode import encode_blocks_batch
+
+        # real prose/code: balanced trees whose min code length satisfies
+        # the kernel gate (tiny/skewed payloads produce < 3-bit codes and
+        # exercise the fallback lane instead)
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        text = open(os.path.join(root, "SURVEY.md"), "rb").read() * 4
+        payloads = [
+            text[: self.CH],
+            bytes(rng.integers(97, 123, self.CH, np.uint8)),  # letters
+            bytes(rng.integers(0, 256, self.CH, np.uint8)),  # random->static/stored
+            b"z" * self.CH,  # extreme skew -> min_len < 3 (fallback lane)
+        ]
+        data = b"".join(payloads)
+        n = len(payloads)
+        darr = jnp.asarray(
+            np.frombuffer(data, np.uint8).reshape(n, self.CH)
+        )
+        finals = np.zeros(n, bool)
+        finals[-1] = True
+        cfg = DeflateConfig(
+            window=256, max_match=10, chunk_size=self.CH, dynamic_encode=True
+        )
+        out, sizes, _ = encode_blocks_batch(
+            darr, jnp.full(n, self.CH, jnp.int32), jnp.asarray(finals),
+            config=cfg,
+        )
+        return payloads, np.asarray(out), np.asarray(sizes)
+
+    def test_prep_static_lane_matches_static_params(self):
+        from tpu_deflate.kernels.tokenize_dyn import TAB_LIT_LIM, TAB_LIT_RD
+        from tpu_deflate.ops.decode import (
+            _S_LIT_LIM,
+            _S_LIT_RD,
+            dyn_header_params_batch,
+        )
+
+        s = _zfixed(b"hello hello hello")
+        rows = np.zeros((1, 1200), np.uint8)
+        rows[0, : len(s)] = np.frombuffer(s, np.uint8)
+        prep = dyn_header_params_batch(
+            jnp.asarray(rows), jnp.asarray([8 * len(s)], np.int32)
+        )
+        assert int(prep["ok"][0]) == 1
+        assert int(prep["start"][0]) == 3
+        tab = np.asarray(prep["tab"])[0]
+        np.testing.assert_array_equal(
+            tab[TAB_LIT_LIM : TAB_LIT_LIM + 16], _S_LIT_LIM
+        )
+        np.testing.assert_array_equal(
+            tab[TAB_LIT_RD : TAB_LIT_RD + 16], _S_LIT_RD
+        )
+
+    def test_parity_vs_xla(self, dyn_container):
+        from tpu_deflate.kernels.tokenize_dyn import (
+            MIN_LIT_LEN,
+            tokenize_dyn_batch,
+        )
+        from tpu_deflate.ops.decode import (
+            _fused_pw,
+            chunk_pwin,
+            dyn_header_params_batch,
+        )
+
+        payloads, rows, sizes = dyn_container
+        ends = (8 * sizes).astype(np.int32)
+        prep = dyn_header_params_batch(jnp.asarray(rows), jnp.asarray(ends))
+        ok = np.asarray(prep["ok"])
+        ml = np.asarray(prep["min_len"])
+        gate = (ok == 1) & (ml >= MIN_LIT_LEN)
+        assert gate.sum() >= 2  # the corpus must exercise the kernel
+        pw = _fused_pw(self.CH)  # tokcap scales with pw: always use the
+        # production window (a smaller pw under-sizes the token buffer)
+        tok, ntok, tot, endp, err = tokenize_dyn_batch(
+            jnp.asarray(rows), jnp.asarray(ends), prep["tab"], prep["start"],
+            pw=pw, interpret=True,
+        )
+        tok = np.asarray(tok)
+        for i in np.nonzero(gate)[0]:
+            tk, ta, tb, tp, t2, pos, e2 = tokenize(
+                jnp.asarray(rows[i]), 0, tok_cap=self.CH + 16,
+                end_bit=int(ends[i]), pwin=chunk_pwin(self.CH),
+                stop_at_eob=True, static_only=False,
+            )
+            tp = int(tp)
+            assert int(err[i]) == int(e2)
+            assert int(ntok[i]) == tp
+            assert int(tot[i]) == int(t2)
+            assert int(endp[i]) == int(pos)
+            tk_f = (tok[i] >> 26) & 3
+            ta_f = (tok[i] >> 17) & 0x1FF
+            tb_f = tok[i] & 0x1FFFF
+            np.testing.assert_array_equal(tk_f[:tp], np.asarray(tk)[:tp])
+            np.testing.assert_array_equal(ta_f[:tp], np.asarray(ta)[:tp])
+            np.testing.assert_array_equal(tb_f[:tp], np.asarray(tb)[:tp])
+
+    def test_corrupt_dynamic_lane_errors(self, dyn_container):
+        from tpu_deflate.kernels.tokenize_dyn import (
+            MIN_LIT_LEN,
+            tokenize_dyn_batch,
+        )
+        from tpu_deflate.ops.decode import _fused_pw, dyn_header_params_batch
+
+        payloads, rows, sizes = dyn_container
+        i = 0  # text lane: dynamic tree, gated in
+        rows = rows.copy()
+        # corrupt mid-block, well past the header
+        rows[i, int(sizes[i]) // 2] ^= 0xA5
+        ends = (8 * sizes).astype(np.int32)
+        prep = dyn_header_params_batch(jnp.asarray(rows), jnp.asarray(ends))
+        assert int(prep["ok"][i]) == 1
+        assert int(prep["min_len"][i]) >= MIN_LIT_LEN
+        tok, ntok, tot, endp, err = tokenize_dyn_batch(
+            jnp.asarray(rows), jnp.asarray(ends), prep["tab"], prep["start"],
+            pw=_fused_pw(self.CH), interpret=True,
+        )
+        from tpu_deflate.ops.decode import chunk_pwin
+
+        _tk, _ta, _tb, _tp, _t2, _pos, e2 = tokenize(
+            jnp.asarray(rows[i]), 0, tok_cap=self.CH + 16,
+            end_bit=int(ends[i]), pwin=chunk_pwin(self.CH),
+            stop_at_eob=True, static_only=False,
+        )
+        assert int(err[i]) == int(e2)
+
+    def test_decode_rows_batch_dynamic_roundtrip(self, dyn_container):
+        payloads, rows, sizes = dyn_container
+        out, totals, errs = decode_rows_batch(
+            jnp.asarray(rows), jnp.asarray((8 * sizes).astype(np.int32)),
+            out_cap=self.CH, tok_cap=self.CH + 16, static_only=False,
+            interpret=True,
+        )
+        for i, p in enumerate(payloads):
+            assert int(errs[i]) == 0
+            assert np.asarray(out)[i, : int(totals[i])].tobytes() == p
+
+    def test_decode_rows_batch_fallback_on_short_codes(self, dyn_container):
+        """A batch containing a min_len < 3 lane must still round-trip
+        (the whole batch routes to the XLA tokenize via the gate)."""
+        from tpu_deflate.kernels.tokenize_dyn import MIN_LIT_LEN
+        from tpu_deflate.ops.decode import dyn_header_params_batch
+
+        payloads, rows, sizes = dyn_container
+        prep = dyn_header_params_batch(
+            jnp.asarray(rows), jnp.asarray((8 * sizes).astype(np.int32))
+        )
+        ml = np.asarray(prep["min_len"])
+        ok = np.asarray(prep["ok"])
+        # the z*CH lane: either skewed dynamic (short codes) or stored
+        assert (((ml < MIN_LIT_LEN) & (ok == 1)) | (ok == 0)).any()
+
+
 class TestDecodeRowsBatch:
     def test_fused_path_interpret(self, static_streams):
         M = PW // 8 + 32

@@ -588,6 +588,124 @@ def _chase(plane: jax.Array, pwin: int):
     return chase_reach(adv, term, pwin)
 
 
+CL_WIN = 4608  # dynamic-header window, bits: HLIT+HDIST <= 316 lengths,
+# each op <= 7 (CL code) + 7 (repeat extra) bits -> header < 4424 bits
+
+
+def _decode_cl_lengths(data_ext, pos0, target, cl_lim, cl_rd, cl_meta):
+    """Decode the HLIT+HDIST code lengths of a dynamic block header.
+
+    Vectorized mini boundary-chase over an 8192-bit window starting at
+    absolute bit ``pos0`` (the data-parallel form of the reference's
+    READBL/REPEAT walk, /root/reference/deflate.py:1125-1146): a CL-symbol
+    candidate at every bit position, boundaries by chase_reach, repeats
+    resolved by exclusive forward fill, interval paints by prefix sums.
+    Returns (lengths int32[MAX_SYMS], end_next_rel, ok) where end_next_rel
+    is the bit offset from pos0 of the first symbol AFTER the header.
+    Shared by the tokenize outer loop and the fused-tokenizer header prep.
+    """
+    U = CL_WIN // 8 + 1
+    byte0 = pos0 >> 3
+    r0 = pos0 & 7
+    bb = jax.lax.dynamic_slice(data_ext, (byte0,), (U + 8,)).astype(jnp.uint32)
+    lo = bb[0:U] | (bb[1:U + 1] << 8) | (bb[2:U + 2] << 16) | (bb[3:U + 3] << 24)
+    hi = bb[4:U + 4] | (bb[5:U + 5] << 8) | (bb[6:U + 6] << 16) | (bb[7:U + 7] << 24)
+    lo = lo[None, :]
+    hi = hi[None, :]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def getw(shift, nbits):
+        sft = (rr + shift).astype(jnp.uint32)
+        s2 = sft & 31
+        a = (lo >> s2) | ((hi << (31 - s2)) << 1)
+        v = jnp.where(sft < 32, a, hi >> s2).astype(jnp.uint32)
+        return (v & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
+
+    def flat(x):
+        return jax.lax.dynamic_slice(x.T.reshape(-1), (r0,), (CL_WIN,))
+
+    v15g = _revbits15_vec(getw(0, 15)) >> 1
+    cnt = jnp.zeros((8, U), jnp.int32)
+    for L in range(1, 16):
+        cnt = cnt + (v15g < cl_lim[L])
+    nb = 16 - cnt
+    nbc = jnp.clip(nb, 1, 15)
+    rank = (v15g >> (15 - nbc)) + _select16(cl_rd, nbc)
+    sym = _select_small(cl_meta, jnp.clip(rank, 0, 18), 19)
+    bad_sym = (nb > 7) | (rank < 0) | (rank > 18) | (sym < 0)
+    x7 = getw(nbc, 7)
+    is16 = sym == 16
+    is17 = sym == 17
+    is18 = sym == 18
+    ebits = jnp.where(is16, 2, jnp.where(is17, 3, jnp.where(is18, 7, 0)))
+    count = jnp.where(
+        sym < 16,
+        1,
+        jnp.where(
+            is16,
+            3 + (x7 & 3),
+            jnp.where(is17, 3 + (x7 & 7), 11 + x7),
+        ),
+    )
+    adv8 = jnp.where(bad_sym, 1, nbc + ebits)
+
+    sym_f = flat(jnp.where(bad_sym, -1, sym))
+    count_f = flat(count)
+    adv_f = flat(adv8)
+    term_f = sym_f < 0
+    reached = chase_reach(adv_f, term_f, CL_WIN)
+
+    pidx = jnp.arange(CL_WIN, dtype=jnp.int32)
+    opc = jnp.where(reached & ~term_f, count_f, 0)
+    cum = jnp.cumsum(opc)
+    cum_ex = cum - opc
+    live_op = reached & ~term_f & (cum_ex < target)
+    total = jnp.max(jnp.where(live_op, cum, 0))
+    end_next = jnp.max(jnp.where(live_op & (cum == target), pidx + adv_f, -1))
+
+    # sym 16 copies the PREVIOUS emitted code length: forward-fill of
+    # (assignments and zero-runs), exclusive at the reading position
+    setk = jnp.where(
+        live_op & (sym_f < 16),
+        (pidx << 9) | (sym_f + 1),
+        jnp.where(live_op & (sym_f >= 17), (pidx << 9) | 1, -1),
+    )
+    fill = jax.lax.cummax(setk)
+    assign16 = (fill & 0x1FF) - 1
+    bad16 = jnp.any(live_op & (sym_f == 16) & (fill < 0))
+    assign = jnp.where(
+        sym_f < 16, sym_f, jnp.where(sym_f == 16, assign16, 0)
+    )
+
+    # paint interval starts into the lengths array, forward-fill.  Targets
+    # cum_ex are STRICTLY increasing over live ops (count >= 1), so on TPU
+    # the paint runs as the monotone one-hot MXU kernel instead of an XLA
+    # scatter (under vmap the scatter's ~1M indices per batch cost ~10 ms
+    # of the header prep); values are stored +1 so empty slots read 0.
+    pk = (cum_ex << 9) | (assign + 1)  # < 2^19, increasing in s
+    if jax.devices()[0].platform == "tpu":
+        from tpu_deflate.kernels.monotone import mono_compact
+
+        idxm = jnp.where(live_op, cum_ex, jnp.int32(MAX_SYMS))
+        q = jnp.where(live_op, pk + 1, 0)
+        ch = jnp.stack([q & 0x3FFF, q >> 14])
+        comp = mono_compact(idxm, ch, MAX_SYMS)
+        arr = (comp[0] + (comp[1] << 14)) - 1  # empty -> -1
+    else:
+        tgt_idx = jnp.where(live_op, cum_ex, jnp.int32(MAX_SYMS))
+        arr = jnp.full((MAX_SYMS,), -1, jnp.int32).at[tgt_idx].max(
+            jnp.where(live_op, pk, -1), mode="drop"
+        )
+    farr = jax.lax.cummax(arr)
+    sidx = jnp.arange(MAX_SYMS, dtype=jnp.int32)
+    lengths = jnp.where(
+        (sidx < target) & (farr >= 0), (farr & 0x1FF) - 1, 0
+    )
+
+    ok = (total == target) & ~bad16 & (end_next >= 0)
+    return lengths, end_next, ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -764,103 +882,16 @@ def tokenize(
     # cost of foreign-stream decode); instead decode a CL-symbol candidate
     # at every bit position of an 8192-bit window, chase the boundaries,
     # and assemble the lengths with prefix sums and forward fills.
-    CL_WIN = 8192
 
     def cllen_vec(s):
-        pos0 = s["pos"]
-        target = s["hlit"] + s["hdist"]
-        U = CL_WIN // 8 + 1
-        byte0 = pos0 >> 3
-        r0 = pos0 & 7
-        bb = jax.lax.dynamic_slice(data_ext, (byte0,), (U + 8,)).astype(jnp.uint32)
-        lo = bb[0:U] | (bb[1:U + 1] << 8) | (bb[2:U + 2] << 16) | (bb[3:U + 3] << 24)
-        hi = bb[4:U + 4] | (bb[5:U + 5] << 8) | (bb[6:U + 6] << 16) | (bb[7:U + 7] << 24)
-        lo = lo[None, :]
-        hi = hi[None, :]
-        rr = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-
-        def getw(shift, nbits):
-            sft = (rr + shift).astype(jnp.uint32)
-            s2 = sft & 31
-            a = (lo >> s2) | ((hi << (31 - s2)) << 1)
-            v = jnp.where(sft < 32, a, hi >> s2).astype(jnp.uint32)
-            return (v & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
-
-        def flat(x):
-            return jax.lax.dynamic_slice(x.T.reshape(-1), (r0,), (CL_WIN,))
-
-        v15g = _revbits15_vec(getw(0, 15)) >> 1
-        cnt = jnp.zeros((8, U), jnp.int32)
-        for L in range(1, 16):
-            cnt = cnt + (v15g < s["cl_lim"][L])
-        nb = 16 - cnt
-        nbc = jnp.clip(nb, 1, 15)
-        rank = (v15g >> (15 - nbc)) + _select16(s["cl_rd"], nbc)
-        sym = _select_small(
-            s["cl_meta"], jnp.clip(rank, 0, 18), 19
+        lengths, end_next, ok = _decode_cl_lengths(
+            data_ext, s["pos"], s["hlit"] + s["hdist"],
+            s["cl_lim"], s["cl_rd"], s["cl_meta"],
         )
-        bad_sym = (nb > 7) | (rank < 0) | (rank > 18) | (sym < 0)
-        x7 = getw(nbc, 7)
-        is16 = sym == 16
-        is17 = sym == 17
-        is18 = sym == 18
-        ebits = jnp.where(is16, 2, jnp.where(is17, 3, jnp.where(is18, 7, 0)))
-        count = jnp.where(
-            sym < 16,
-            1,
-            jnp.where(
-                is16,
-                3 + (x7 & 3),
-                jnp.where(is17, 3 + (x7 & 7), 11 + x7),
-            ),
-        )
-        adv8 = jnp.where(bad_sym, 1, nbc + ebits)
-
-        sym_f = flat(jnp.where(bad_sym, -1, sym))
-        count_f = flat(count)
-        adv_f = flat(adv8)
-        term_f = sym_f < 0
-        reached = chase_reach(adv_f, term_f, CL_WIN)
-
-        pidx = jnp.arange(CL_WIN, dtype=jnp.int32)
-        opc = jnp.where(reached & ~term_f, count_f, 0)
-        cum = jnp.cumsum(opc)
-        cum_ex = cum - opc
-        live_op = reached & ~term_f & (cum_ex < target)
-        total = jnp.max(jnp.where(live_op, cum, 0))
-        end_next = jnp.max(jnp.where(live_op & (cum == target), pidx + adv_f, -1))
-
-        # sym 16 copies the PREVIOUS emitted code length: forward-fill of
-        # (assignments and zero-runs), exclusive at the reading position
-        setk = jnp.where(
-            live_op & (sym_f < 16),
-            (pidx << 9) | (sym_f + 1),
-            jnp.where(live_op & (sym_f >= 17), (pidx << 9) | 1, -1),
-        )
-        fill = jax.lax.cummax(setk)
-        assign16 = (fill & 0x1FF) - 1
-        bad16 = jnp.any(live_op & (sym_f == 16) & (fill < 0))
-        assign = jnp.where(
-            sym_f < 16, sym_f, jnp.where(sym_f == 16, assign16, 0)
-        )
-
-        # paint interval starts into the lengths array, forward-fill
-        pk = jnp.where(live_op, (cum_ex << 9) | (assign + 1), -1)
-        tgt_idx = jnp.where(live_op, cum_ex, jnp.int32(MAX_SYMS))
-        arr = jnp.full((MAX_SYMS,), -1, jnp.int32).at[tgt_idx].max(
-            pk, mode="drop"
-        )
-        farr = jax.lax.cummax(arr)
-        sidx = jnp.arange(MAX_SYMS, dtype=jnp.int32)
-        lengths = jnp.where(
-            (sidx < target) & (farr >= 0), (farr & 0x1FF) - 1, 0
-        )
-
-        ok = (total == target) & ~bad16 & (end_next >= 0)
         return dict(
             s,
-            pos=pos0 + end_next,
-            cl_idx=target,
+            pos=s["pos"] + end_next,
+            cl_idx=s["hlit"] + s["hdist"],
             lengths=lengths,
             err=jnp.where(ok, s["err"], jnp.int32(ERR_BAD_CODE)),
             mode=jnp.where(ok, jnp.int32(M_TABLES), jnp.int32(M_ERROR)),
@@ -1372,26 +1403,59 @@ def decode_rows_batch(
         out, total = expand_batch(rows, tk, ta, tb, tp, out_cap=out_cap)
         return out, total, err
 
+    on_tpu = jax.devices()[0].platform == "tpu" or interpret
     use_kernel = (
-        static_only
-        and out_cap <= (1 << 16)
-        and (jax.devices()[0].platform == "tpu" or interpret)
+        out_cap <= (1 << 16)
+        and on_tpu
         and not _os.environ.get("TPU_DEFLATE_NO_FUSED_TOKENIZE")
     )
     if not use_kernel:
         return xla_path(None)
 
-    from tpu_deflate.kernels.tokenize import tokenize_static_batch
-
     pw = _fused_pw(out_cap)
     empty = ends <= 3
-    ok_lane = empty | (
-        (((rows[:, 0].astype(jnp.int32) >> 1) & 3) == 1) & (ends <= pw - 64)
+
+    if static_only:
+        from tpu_deflate.kernels.tokenize import tokenize_static_batch
+
+        ok_lane = empty | (
+            (((rows[:, 0].astype(jnp.int32) >> 1) & 3) == 1)
+            & (ends <= pw - 64)
+        )
+
+        def fused(_):
+            tok, ntok, _tot, _pos, err = tokenize_static_batch(
+                rows, ends, pw=pw, interpret=interpret
+            )
+            tk = (tok >> 26) & 3
+            ta = (tok >> 17) & 0x1FF
+            tb = tok & 0x1FFFF
+            out, total = expand_batch(rows, tk, ta, tb, ntok, out_cap=out_cap)
+            return out, total, err
+
+        return jax.lax.cond(jnp.all(ok_lane), fused, xla_path, None)
+
+    # generic (dynamic/static mixed) container: per-lane comparison-decode
+    # tables from the batched header parse, then the fused dynamic kernel
+    from tpu_deflate.kernels.tokenize_dyn import (
+        MIN_LIT_LEN,
+        tokenize_dyn_batch,
     )
 
-    def fused(_):
-        tok, ntok, _tot, _pos, err = tokenize_static_batch(
-            rows, ends, pw=pw, interpret=interpret
+    if _os.environ.get("TPU_DEFLATE_NO_FUSED_DYN"):
+        return xla_path(None)
+
+    prep = dyn_header_params_batch(rows, ends)
+    ok_lane = empty | (
+        (prep["ok"] > 0)
+        & (prep["min_len"] >= MIN_LIT_LEN)
+        & (ends <= pw - 64)
+    )
+
+    def fused_dyn(_):
+        tok, ntok, _tot, _pos, err = tokenize_dyn_batch(
+            rows, ends, prep["tab"], prep["start"], pw=pw,
+            interpret=interpret,
         )
         tk = (tok >> 26) & 3
         ta = (tok >> 17) & 0x1FF
@@ -1399,7 +1463,112 @@ def decode_rows_batch(
         out, total = expand_batch(rows, tk, ta, tb, ntok, out_cap=out_cap)
         return out, total, err
 
-    return jax.lax.cond(jnp.all(ok_lane), fused, xla_path, None)
+    return jax.lax.cond(jnp.all(ok_lane), fused_dyn, xla_path, None)
+
+
+def _pack_nibbles(v: jax.Array, per: int, bits: int) -> jax.Array:
+    """Pack ``per`` consecutive ``bits``-bit values per int32 along the
+    last axis.  v: int32[..., K] with K % per == 0."""
+    K = v.shape[-1]
+    r = v.reshape(v.shape[:-1] + (K // per, per))
+    sh = (bits * jnp.arange(per, dtype=jnp.int32))
+    return jnp.sum(r << sh, axis=-1).astype(jnp.int32)
+
+
+def dyn_header_params_batch(rows: jax.Array, ends: jax.Array):
+    """Per-lane FIRST-block header parse + packed comparison-decode tables
+    for the fused dynamic tokenizer (kernels/tokenize_dyn.py).
+
+    rows: uint8[B, M] (one block run per lane, bit 0 on); ends: int32[B].
+    Parses stream position 0's block header: static blocks (btype 1) get
+    the RFC static trees and start_bit 3; dynamic blocks (btype 2) decode
+    HLIT/HDIST/HCLEN + the code-length mini-chase (_decode_cl_lengths) and
+    build per-lane canonical params — the batched analog of the
+    reference's BL/READBL/REPEAT + HF1..SPREAD phases
+    (/root/reference/deflate.py:1084-1400).  Returns a dict of int32
+    arrays:
+
+      ok[B]        lane is static/dynamic with valid trees (else caller
+                   falls back to the XLA tokenize)
+      start[B]     absolute bit of the first symbol
+      min_len[B]   shortest literal/length code (bounds symbol visits per
+                   64-bit tile for the kernel's walk)
+      tab[B, 160]  concatenated per-lane kernel table (layout TAB_* in
+                   kernels/tokenize_dyn.py): lit_lim/lit_rd/dist_lim/
+                   dist_rd (16 each), lit_sym8 (72: 4 x 8-bit low bytes of
+                   sym+1 per int32, 0=dead rank), lit_symhi (9: 32 x 1-bit
+                   bit-8s), dist_sym8 (8: 4 x 8-bit dsym+1), start,
+                   min_len, padding
+    """
+    B, M = rows.shape
+    # the CL window slices up to byte0 + CL_WIN/8 + 9 with byte0 <= ~25
+    need = CL_WIN // 8 + 64
+    if M < need:
+        rows = jnp.pad(rows, ((0, 0), (0, need - M)))
+
+    s_lit_lengths = jnp.asarray(T.STATIC_LITLEN_LENGTHS)
+    s_dist_lengths = jnp.asarray(T.STATIC_DIST_LENGTHS)
+    cl_order = jnp.asarray(T.CODE_LENGTH_ORDER)
+
+    def lane(row, end):
+        d32 = row.astype(jnp.uint32)
+        btype = _peek_bits(d32, jnp.int32(1), 2)
+        # --- dynamic parse (computed unconditionally; masked by btype) ---
+        hlit = _peek_bits(d32, jnp.int32(3), 5) + 257
+        hdist = _peek_bits(d32, jnp.int32(8), 5) + 1
+        hclen = _peek_bits(d32, jnp.int32(13), 4) + 4
+        p = jnp.int32(17)
+        j = jnp.arange(19, dtype=jnp.int32)
+        raw = _peek_bits(d32, p + 3 * j, 3)
+        raw = jnp.where(j < hclen, raw, 0)
+        cl_lengths = jnp.zeros((19,), jnp.int32).at[cl_order].set(raw)
+        clim, crd, cmeta, cover = _canon_params_jax(
+            cl_lengths, 19, lambda sym, xp=np: sym
+        )
+        pos0 = p + 3 * hclen
+        lengths, end_next, cl_ok = _decode_cl_lengths(
+            row, pos0, hlit + hdist, clim, crd, cmeta
+        )
+        sidx = jnp.arange(MAX_SYMS, dtype=jnp.int32)
+        dyn_lit = jnp.where(sidx < hlit, lengths, 0)[:288]
+        dl = lengths[jnp.clip(hlit + jnp.arange(32), 0, MAX_SYMS - 1)]
+        dyn_dist = jnp.where(jnp.arange(32) < hdist, dl, 0)
+
+        is_static = btype == 1
+        lit_lengths = jnp.where(is_static, s_lit_lengths, dyn_lit)
+        dist_lengths = jnp.where(is_static, s_dist_lengths, dyn_dist)
+        start = jnp.where(is_static, 3, pos0 + end_next)
+
+        ident = lambda sym, xp=np: sym
+        llim, lrd, lsym, lover = _canon_params_jax(lit_lengths, 288, ident)
+        dlim, drd, dsym, dover = _canon_params_jax(dist_lengths, 32, ident)
+
+        empty = end <= 3  # no stream at all: harmless, kernel emits nothing
+        ok = empty | is_static | (
+            (btype == 2) & cl_ok & ~cover & ~lover & ~dover
+        )
+        start = jnp.where(empty, 0, start)
+        min_len = jnp.where(
+            empty, 99, jnp.min(jnp.where(lit_lengths > 0, lit_lengths, 99))
+        )
+
+        # --- pack the kernel tables -------------------------------------
+        valid = (lsym >= 0) & (lsym <= 287)
+        symp1 = jnp.where(valid, lsym + 1, 0)
+        lit_sym8 = _pack_nibbles(symp1 & 0xFF, 4, 8)  # (72,)
+        lit_symhi = _pack_nibbles(symp1 >> 8, 32, 1)  # (9,)
+        dvalid = (dsym >= 0) & (dsym <= 29)
+        dist_sym8 = _pack_nibbles(jnp.where(dvalid, dsym + 1, 0), 4, 8)  # (8,)
+
+        tab = jnp.concatenate([
+            llim, lrd, dlim, drd, lit_sym8, lit_symhi, dist_sym8,
+            start[None], min_len[None], jnp.zeros((5,), jnp.int32),
+        ])  # (160,)
+        return dict(
+            ok=ok.astype(jnp.int32), start=start, min_len=min_len, tab=tab,
+        )
+
+    return jax.vmap(lane)(rows, ends.astype(jnp.int32))
 
 
 def chunk_pwin(chunk: int) -> int:
