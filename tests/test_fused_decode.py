@@ -339,6 +339,55 @@ class TestTokenizeDynFused:
             assert int(errs[i]) == 0
             assert np.asarray(out)[i, : int(totals[i])].tobytes() == p
 
+    def test_tier2_parity_short_codes(self, rng):
+        """The foreign loop's tier-2 kernel (33-visit walk) must match the
+        XLA tokenize on blocks whose literal tree has 2-bit codes."""
+        from tpu_deflate.kernels.tokenize_dyn import tokenize_dyn_batch
+        from tpu_deflate.ops.decode import (
+            _fused_pw,
+            chunk_pwin,
+            dyn_header_params_batch,
+            tokenize,
+        )
+
+        # a two-symbol alphabet -> 2-bit literal codes in zlib's tree
+        pool = b"ab"
+        payload = bytes(
+            pool[i] for i in rng.integers(0, len(pool), 3072)
+        )
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        s = co.compress(payload) + co.flush()
+        rows = np.zeros((1, 4096), np.uint8)
+        rows[0, : len(s)] = np.frombuffer(s, np.uint8)
+        ends = np.asarray([8 * len(s)], np.int32)
+        prep = dyn_header_params_batch(jnp.asarray(rows), jnp.asarray(ends))
+        ml = int(prep["min_len"][0])
+        assert ml == 2, f"fixture drift: min_len {ml}"
+        pw = _fused_pw(3072)
+        tok, ntok, tot, endp, err = tokenize_dyn_batch(
+            jnp.asarray(rows), jnp.asarray(ends), prep["tab"], prep["start"],
+            pw=pw, interpret=True, tier=2,
+        )
+        tk, ta, tb, tp, t2, pos, e2 = tokenize(
+            jnp.asarray(rows[0]), 0, tok_cap=4096, end_bit=int(ends[0]),
+            pwin=chunk_pwin(3072), stop_at_eob=True, static_only=False,
+        )
+        tp = int(tp)
+        assert int(err[0]) == int(e2) == 0
+        assert int(ntok[0]) == tp
+        assert int(tot[0]) == int(t2)
+        assert int(endp[0]) == int(pos)
+        tok = np.asarray(tok)
+        np.testing.assert_array_equal(
+            ((tok[0] >> 26) & 3)[:tp], np.asarray(tk)[:tp]
+        )
+        np.testing.assert_array_equal(
+            ((tok[0] >> 17) & 0x1FF)[:tp], np.asarray(ta)[:tp]
+        )
+        np.testing.assert_array_equal(
+            (tok[0] & 0x1FFFF)[:tp], np.asarray(tb)[:tp]
+        )
+
     def test_decode_rows_batch_fallback_on_short_codes(self, dyn_container):
         """A batch containing a min_len < 3 lane must still round-trip
         (the whole batch routes to the XLA tokenize via the gate)."""

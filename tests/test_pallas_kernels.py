@@ -208,3 +208,77 @@ def test_match2_kernel_equals_xla_bitplane(mode, window, maxm):
         )
         np.testing.assert_array_equal(np.asarray(d1)[lane], np.asarray(d0))
         np.testing.assert_array_equal(np.asarray(l1)[lane], np.asarray(l0))
+
+
+# ---------------------------------------------------------------------------
+# Single-lane hierarchical chase (kernels/chase1.py, interpret mode)
+# ---------------------------------------------------------------------------
+
+
+def test_visited_from_adv_matches_chase_reach():
+    from tpu_deflate.kernels.chase1 import visited_from_adv
+    from tpu_deflate.ops.decode import chase_reach
+
+    rng = np.random.default_rng(0)
+    T = 128
+    P = 64 * T
+    for _ in range(3):
+        adv = rng.integers(1, 15, P).astype(np.int32)
+        term = rng.random(P) < 0.002
+        ref = np.asarray(chase_reach(jnp.asarray(adv), jnp.asarray(term), P))
+        advT = jnp.asarray(adv.reshape(T, 64).T.copy())
+        termT = jnp.asarray(term.reshape(T, 64).T.astype(np.int32).copy())
+        vis = np.asarray(
+            visited_from_adv(advT, termT, jnp.int32(0), interpret=True)
+        )
+        np.testing.assert_array_equal(vis.T.reshape(-1) != 0, ref)
+
+
+def test_ent_from_phi_matches_python_walk():
+    from tpu_deflate.kernels.chase1 import ent_from_phi
+
+    rng = np.random.default_rng(3)
+    T2 = 256
+    P2 = 64 * T2
+    adv = rng.integers(1, 48, P2).astype(np.int32)
+    term = rng.random(P2) < 0.001
+    m0 = np.where(term, 255, (np.arange(P2) % 64) + adv)
+    # python reference: chase from phase 5, record entry phase per tile
+    ent_ref = np.full(T2, -1, np.int64)
+    p = 5
+    while p < P2:
+        t, j = divmod(p, 64)
+        if ent_ref[t] < 0:
+            ent_ref[t] = j
+        if term[p]:
+            break
+        p = p + adv[p]
+    last_t = p // 64
+    # build packed per-tile transfer maps exactly as K1d does
+    m = m0.reshape(T2, 64).T.astype(np.int64).copy()
+    for _ in range(6):
+        nm = m.copy()
+        for e in range(64):
+            idx = m[e]
+            ok = (idx >= 0) & (idx < 64)
+            nm[e] = np.where(
+                ok, m[np.clip(idx, 0, 63), np.arange(T2)], idx
+            )
+        m = nm
+    phi = np.where(m >= 128, 191, m - 64)
+    phiP = np.zeros((1, 16, T2), np.int32)
+    for g in range(16):
+        packed = (
+            phi[4 * g] | (phi[4 * g + 1] << 8) | (phi[4 * g + 2] << 16)
+            | (phi[4 * g + 3] << 24)
+        )
+        phiP[0, g] = packed.astype(np.uint32).astype(np.int64).astype(np.int32)
+    ent = np.asarray(
+        ent_from_phi(jnp.asarray(phiP), jnp.int32(5), interpret=True)
+    )[0, 0]
+    assert ent[0] == 5
+    for t in range(T2):
+        if ent_ref[t] >= 0:
+            assert ent[t] == ent_ref[t], (t, ent[t], ent_ref[t])
+        elif t > last_t:
+            assert ent[t] == -1, (t, ent[t])

@@ -69,8 +69,14 @@ from tpu_deflate.kernels.tokenize import (
     _windows,
 )
 
-WLK_D = 22  # max symbol visits per 64-bit tile at min code length 3
-MIN_LIT_LEN = 3  # lanes with shorter codes fall back to the XLA tokenize
+# max symbol visits per 64-bit tile = ceil(64 / min literal code length)
+# + 1 terminator; the batched container path gates at 3 bits (tier 3),
+# the foreign single-stream loop at 2 (real zlib -6 streams contain
+# 2-bit-literal blocks); shorter codes fall back to the XLA tokenize
+WLK_BY_TIER = {3: 22, 2: 33}
+WLK_D = WLK_BY_TIER[3]
+MIN_LIT_LEN = 3
+MIN_LIT_LEN_FOREIGN = 2
 
 # packed per-lane table layout (ops/decode.dyn_header_params_batch)
 TAB_LIT_LIM = 0
@@ -81,6 +87,8 @@ TAB_SYM8 = 64  # 72 rows: 4 x 8-bit low bytes of (sym+1), 0 = dead rank
 TAB_SYMHI = 136  # 9 rows: 32 x 1-bit bit-8 of (sym+1)
 TAB_DSYM8 = 145  # 8 rows: 4 x 8-bit (dsym+1), 0 = dead rank
 TAB_START = 153
+TAB_MINLEN = 154
+TAB_OUTBASE = 155  # output bytes already emitted before this block
 TAB_W = 160
 
 
@@ -290,15 +298,16 @@ def _k2d_kernel(start_ref, phi_ref, ent_ref, e_scr, *, tslab: int):
 
 
 def _k3d_kernel(
-    end_ref, plane_ref, m0p_ref, ent_ref, tok_ref, meta_ref,
+    end_ref, tab_ref, plane_ref, m0p_ref, ent_ref, tok_ref, meta_ref,
     w_scr, sl_scr,
-    *, t64: int, tokrows: int, wr: int, chunk: int,
+    *, t64: int, tokrows: int, wr: int, chunk: int, wlk: int = WLK_D,
 ):
     b = pl.program_id(0)
     end_bit = end_ref[b]
+    out_base = tab_ref[b, TAB_OUTBASE]
     tok_ref[0] = jnp.zeros_like(tok_ref[0])
 
-    # ---- walk: <= WLK_D symbol visits per tile.  Fields come from K1d's
+    # ---- walk: <= wlk symbol visits per tile.  Fields come from K1d's
     # plane by a 64-row predicated select at the visited phase (physical
     # row of in-tile position q is ((q&7)<<3)|(q>>3), the _row_of
     # involution) — no bitstream re-derivation.
@@ -318,7 +327,7 @@ def _k3d_kernel(
                     + c * chunk)
             bad_col = jnp.zeros((1, chunk), bool)
             eob_col = jnp.full((1, chunk), -1, jnp.int32)
-            for s in range(WLK_D):
+            for s in range(wlk):
                 inb = (cur >= 0) & (cur < TILE)
                 curc = jnp.clip(cur, 0, TILE - 1)
                 prow = ((curc & 7) << 3) | (curc >> 3)  # physical row
@@ -347,17 +356,17 @@ def _k3d_kernel(
                     ),
                 )
                 cur = jnp.where(inb, _sel_packed(m0p_rows, curc), cur)
-            w_scr[WLK_D, sl] = eob_col[0]
-            w_scr[WLK_D + 1, sl] = bad_col[0].astype(jnp.int32)
+            w_scr[wlk, sl] = eob_col[0]
+            w_scr[wlk + 1, sl] = bad_col[0].astype(jnp.int32)
 
         @pl.when(jnp.logical_not(live_c))
         def _(sl=sl):
-            w_scr[:WLK_D, sl] = jnp.full((WLK_D, chunk), -1, jnp.int32)
-            w_scr[WLK_D, sl] = jnp.full((chunk,), -1, jnp.int32)
-            w_scr[WLK_D + 1, sl] = jnp.zeros((chunk,), jnp.int32)
+            w_scr[:wlk, sl] = jnp.full((wlk, chunk), -1, jnp.int32)
+            w_scr[wlk, sl] = jnp.full((chunk,), -1, jnp.int32)
+            w_scr[wlk + 1, sl] = jnp.zeros((chunk,), jnp.int32)
 
     # ---- per-tile counts, global scans (as the static K3) ---------------
-    W = [w_scr[s, :].reshape(1, t64) for s in range(WLK_D)]
+    W = [w_scr[s, :].reshape(1, t64) for s in range(wlk)]
     live = [w >= 0 for w in W]
     lens = [
         jnp.where(li, jnp.where((w >> 26) & 3 == 0, 1, (w >> 17) & 0x1FF), 0)
@@ -371,18 +380,20 @@ def _k3d_kernel(
     out_total = jnp.max(base_byte + bytes_t)
 
     too_far = jnp.zeros((1, t64), bool)
-    run = base_byte
+    # matches may reach into output emitted by EARLIER blocks of the same
+    # stream (foreign multi-block decode); out_base carries that offset
+    run = base_byte + out_base
     slot = base_tok
     tokcap = tokrows * 128
-    for s in range(WLK_D):
+    for s in range(wlk):
         is_m = live[s] & (((W[s] >> 26) & 3) == 1)
         too_far = too_far | (is_m & ((W[s] & 0x1FFFF) > run))
         run = run + lens[s]
         sl_scr[s, :] = jnp.where(live[s], slot, tokcap + 1024)[0]
         slot = slot + live[s].astype(jnp.int32)
 
-    eob_pk = jnp.max(w_scr[WLK_D, :])
-    bad = jnp.max(w_scr[WLK_D + 1, :]) > 0
+    eob_pk = jnp.max(w_scr[wlk, :])
+    bad = jnp.max(w_scr[wlk + 1, :]) > 0
     toofar = jnp.any(too_far)
     cap_ok = ntok < tokcap - 8
     anybad = bad | toofar | ~cap_ok
@@ -412,10 +423,10 @@ def _k3d_kernel(
 
         @pl.when(has)
         def _():
-            toks = w_scr[:WLK_D, pl.ds(idx, 128)]
+            toks = w_scr[:wlk, pl.ds(idx, 128)]
             row0 = jnp.clip(jnp.min(slots) >> 7, 0, tokrows - wr)
             acc = jnp.zeros((4 * wr, 128), jnp.float32)
-            for s in range(WLK_D):
+            for s in range(wlk):
                 rel = (slots[s] - row0 * 128)[None, :]
                 ok = (rel >= 0) & (rel < wr * 128)
                 ohr = (((rel >> 7) == wrow) & ok).astype(jnp.bfloat16)
@@ -450,7 +461,7 @@ def _k3d_kernel(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("pw", "interpret"))
+@functools.partial(jax.jit, static_argnames=("pw", "interpret", "hier", "tier"))
 def tokenize_dyn_batch(
     rows: jax.Array,  # uint8[B, M] — one block per lane, bit 0 on
     end_bits: jax.Array,  # int32[B] — 8 * compressed size
@@ -458,6 +469,8 @@ def tokenize_dyn_batch(
     starts: jax.Array,  # int32[B] absolute bit of the first symbol
     pw: int = 1 << 19,
     interpret: bool = False,
+    hier: bool = False,
+    tier: int = 3,
 ):
     """Fused dynamic/static tokenize: one boundary-chase pass per lane
     with per-lane comparison-decode tables.
@@ -466,6 +479,13 @@ def tokenize_dyn_batch(
     (prep ok), min literal code length >= MIN_LIT_LEN, end_bit <= pw-64.
     Returns (tok_packed int32[B, tokcap], ntok, out_total, end_pos, err)
     in the same layout as tokenize_static_batch.
+
+    ``hier``: replace the lane-parallel K2d tile scan with the
+    single-lane hierarchical chase (kernels/chase1.ent_from_phi) —
+    requires B == 1, t64 a power of two, and starts[0] < 64 (the foreign
+    loop re-bases each block's window at the first symbol's byte).  K2d's
+    wall-clock is t64 sequential steps regardless of batch size, so for
+    one lane the log-depth form is ~50x cheaper.
     """
     B, M = rows.shape
     t64 = pw // TILE
@@ -486,8 +506,9 @@ def tokenize_dyn_batch(
     chunk1 = _pick(128)
     chunk3 = _pick(640)
     tslab = _pick(640)
-    wr = 24  # window rows: <= 22*128+127 slots per 128-tile chunk
-    tokrows = max(_ceil(min(WLK_D * t64, pw // 8 + 64), 128) + 2, wr)
+    wlk = WLK_BY_TIER[tier]
+    wr = 40 if tier == 2 else 24  # window rows: <= wlk*128+127 slots/chunk
+    tokrows = max(_ceil(min(wlk * t64, pw // 8 + 64), 128) + 2, wr)
 
     need = pw // 8 + 16
     if M >= need:
@@ -523,38 +544,48 @@ def tokenize_dyn_batch(
         interpret=interpret,
     )(ends, tab.astype(jnp.int32), bT)
 
-    # ---- K2d over lane groups of 128 -----------------------------------
-    Bp = _ceil(B, 128) * 128
-    phiT = jnp.pad(phiP, ((0, Bp - B), (0, 0), (0, 0)), constant_values=STOP4)
-    phiT = phiT.transpose(2, 1, 0)  # (t64, 16, Bp)
-    startsT = jnp.pad(
-        starts.astype(jnp.int32), (0, Bp - B), constant_values=-1
-    ).reshape(Bp // 128, 128)
-    entT = pl.pallas_call(
-        functools.partial(_k2d_kernel, tslab=tslab),
-        grid=(Bp // 128, t64 // tslab),
-        in_specs=[
-            pl.BlockSpec((1, 128), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tslab, 16, 128), lambda g, i: (i, 0, g), memory_space=pltpu.VMEM
+    if hier:
+        from tpu_deflate.kernels.chase1 import ent_from_phi
+
+        assert B == 1 and (t64 & (t64 - 1)) == 0
+        ent = ent_from_phi(phiP, starts[0], interpret=interpret)
+    else:
+        # ---- K2d over lane groups of 128 -------------------------------
+        Bp = _ceil(B, 128) * 128
+        phiT = jnp.pad(
+            phiP, ((0, Bp - B), (0, 0), (0, 0)), constant_values=STOP4
+        )
+        phiT = phiT.transpose(2, 1, 0)  # (t64, 16, Bp)
+        startsT = jnp.pad(
+            starts.astype(jnp.int32), (0, Bp - B), constant_values=-1
+        ).reshape(Bp // 128, 128)
+        entT = pl.pallas_call(
+            functools.partial(_k2d_kernel, tslab=tslab),
+            grid=(Bp // 128, t64 // tslab),
+            in_specs=[
+                pl.BlockSpec((1, 128), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (tslab, 16, 128), lambda g, i: (i, 0, g), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=jax.ShapeDtypeStruct((t64, Bp), jnp.int32),
+            out_specs=pl.BlockSpec(
+                (tslab, 128), lambda g, i: (i, g), memory_space=pltpu.VMEM
             ),
-        ],
-        out_shape=jax.ShapeDtypeStruct((t64, Bp), jnp.int32),
-        out_specs=pl.BlockSpec(
-            (tslab, 128), lambda g, i: (i, g), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.VMEM((1, 128), jnp.int32)],
-        interpret=interpret,
-    )(startsT, phiT)
-    ent = entT.T[:B].reshape(B, 1, t64)
+            scratch_shapes=[pltpu.VMEM((1, 128), jnp.int32)],
+            interpret=interpret,
+        )(startsT, phiT)
+        ent = entT.T[:B].reshape(B, 1, t64)
 
     tok, meta = pl.pallas_call(
         functools.partial(
-            _k3d_kernel, t64=t64, tokrows=tokrows, wr=wr, chunk=chunk3
+            _k3d_kernel, t64=t64, tokrows=tokrows, wr=wr, chunk=chunk3,
+            wlk=wlk,
         ),
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (B, TAB_W)
             pl.BlockSpec((1, TILE, t64), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, t64), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t64), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -570,11 +601,11 @@ def tokenize_dyn_batch(
             pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((WLK_D + 2, t64), jnp.int32),
-            pltpu.VMEM((WLK_D, t64), jnp.int32),
+            pltpu.VMEM((wlk + 2, t64), jnp.int32),
+            pltpu.VMEM((wlk, t64), jnp.int32),
         ],
         interpret=interpret,
-    )(ends, plane, m0p, ent)
+    )(ends, tab.astype(jnp.int32), plane, m0p, ent)
 
     tok = tok.reshape(B, tokrows * 128)
     meta = meta.reshape(B, 128)

@@ -592,19 +592,23 @@ CL_WIN = 4608  # dynamic-header window, bits: HLIT+HDIST <= 316 lengths,
 # each op <= 7 (CL code) + 7 (repeat extra) bits -> header < 4424 bits
 
 
-def _decode_cl_lengths(data_ext, pos0, target, cl_lim, cl_rd, cl_meta):
+def _decode_cl_lengths(data_ext, pos0, target, cl_lim, cl_rd, cl_meta,
+                       win: int = CL_WIN, reach_fn=None):
     """Decode the HLIT+HDIST code lengths of a dynamic block header.
 
-    Vectorized mini boundary-chase over an 8192-bit window starting at
+    Vectorized mini boundary-chase over a ``win``-bit window starting at
     absolute bit ``pos0`` (the data-parallel form of the reference's
     READBL/REPEAT walk, /root/reference/deflate.py:1125-1146): a CL-symbol
-    candidate at every bit position, boundaries by chase_reach, repeats
-    resolved by exclusive forward fill, interval paints by prefix sums.
+    candidate at every bit position, boundaries by chase_reach (or the
+    caller's ``reach_fn(adv, term) -> bool[win]`` — the single-lane
+    foreign loop plugs in the Pallas chase), repeats resolved by exclusive
+    forward fill, interval paints by prefix sums.
     Returns (lengths int32[MAX_SYMS], end_next_rel, ok) where end_next_rel
     is the bit offset from pos0 of the first symbol AFTER the header.
     Shared by the tokenize outer loop and the fused-tokenizer header prep.
     """
-    U = CL_WIN // 8 + 1
+    CL_WIN_ = win
+    U = CL_WIN_ // 8 + 1
     byte0 = pos0 >> 3
     r0 = pos0 & 7
     bb = jax.lax.dynamic_slice(data_ext, (byte0,), (U + 8,)).astype(jnp.uint32)
@@ -622,7 +626,7 @@ def _decode_cl_lengths(data_ext, pos0, target, cl_lim, cl_rd, cl_meta):
         return (v & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
 
     def flat(x):
-        return jax.lax.dynamic_slice(x.T.reshape(-1), (r0,), (CL_WIN,))
+        return jax.lax.dynamic_slice(x.T.reshape(-1), (r0,), (CL_WIN_,))
 
     v15g = _revbits15_vec(getw(0, 15)) >> 1
     cnt = jnp.zeros((8, U), jnp.int32)
@@ -653,9 +657,9 @@ def _decode_cl_lengths(data_ext, pos0, target, cl_lim, cl_rd, cl_meta):
     count_f = flat(count)
     adv_f = flat(adv8)
     term_f = sym_f < 0
-    reached = chase_reach(adv_f, term_f, CL_WIN)
+    reached = (reach_fn(adv_f, term_f) if reach_fn is not None else chase_reach(adv_f, term_f, CL_WIN_))
 
-    pidx = jnp.arange(CL_WIN, dtype=jnp.int32)
+    pidx = jnp.arange(CL_WIN_, dtype=jnp.int32)
     opc = jnp.where(reached & ~term_f, count_f, 0)
     cum = jnp.cumsum(opc)
     cum_ex = cum - opc
@@ -1475,6 +1479,34 @@ def _pack_nibbles(v: jax.Array, per: int, bits: int) -> jax.Array:
     return jnp.sum(r << sh, axis=-1).astype(jnp.int32)
 
 
+def pack_block_tab(lit_lengths, dist_lengths, start, out_base=None):
+    """Canonical params + packed kernel table for ONE block's trees.
+
+    lit_lengths int32[288], dist_lengths int32[32]; start = absolute bit
+    of the first symbol; out_base = output bytes emitted by earlier
+    blocks (foreign multi-block streams).  Returns (tab int32[160],
+    min_len, trees_ok) in the kernels/tokenize_dyn.py TAB layout.
+    """
+    ident = lambda sym, xp=np: sym
+    llim, lrd, lsym, lover = _canon_params_jax(lit_lengths, 288, ident)
+    dlim, drd, dsym, dover = _canon_params_jax(dist_lengths, 32, ident)
+    trees_ok = ~lover & ~dover
+    min_len = jnp.min(jnp.where(lit_lengths > 0, lit_lengths, 99))
+    valid = (lsym >= 0) & (lsym <= 287)
+    symp1 = jnp.where(valid, lsym + 1, 0)
+    lit_sym8 = _pack_nibbles(symp1 & 0xFF, 4, 8)  # (72,)
+    lit_symhi = _pack_nibbles(symp1 >> 8, 32, 1)  # (9,)
+    dvalid = (dsym >= 0) & (dsym <= 29)
+    dist_sym8 = _pack_nibbles(jnp.where(dvalid, dsym + 1, 0), 4, 8)  # (8,)
+    ob = jnp.int32(0) if out_base is None else jnp.asarray(out_base, jnp.int32)
+    tab = jnp.concatenate([
+        llim, lrd, dlim, drd, lit_sym8, lit_symhi, dist_sym8,
+        jnp.asarray(start, jnp.int32)[None], min_len[None], ob[None],
+        jnp.zeros((4,), jnp.int32),
+    ])  # (160,)
+    return tab, min_len, trees_ok
+
+
 def dyn_header_params_batch(rows: jax.Array, ends: jax.Array):
     """Per-lane FIRST-block header parse + packed comparison-decode tables
     for the fused dynamic tokenizer (kernels/tokenize_dyn.py).
@@ -1538,32 +1570,14 @@ def dyn_header_params_batch(rows: jax.Array, ends: jax.Array):
         lit_lengths = jnp.where(is_static, s_lit_lengths, dyn_lit)
         dist_lengths = jnp.where(is_static, s_dist_lengths, dyn_dist)
         start = jnp.where(is_static, 3, pos0 + end_next)
-
-        ident = lambda sym, xp=np: sym
-        llim, lrd, lsym, lover = _canon_params_jax(lit_lengths, 288, ident)
-        dlim, drd, dsym, dover = _canon_params_jax(dist_lengths, 32, ident)
-
         empty = end <= 3  # no stream at all: harmless, kernel emits nothing
-        ok = empty | is_static | (
-            (btype == 2) & cl_ok & ~cover & ~lover & ~dover
-        )
         start = jnp.where(empty, 0, start)
-        min_len = jnp.where(
-            empty, 99, jnp.min(jnp.where(lit_lengths > 0, lit_lengths, 99))
+
+        tab, min_len, trees_ok = pack_block_tab(
+            lit_lengths, dist_lengths, start
         )
-
-        # --- pack the kernel tables -------------------------------------
-        valid = (lsym >= 0) & (lsym <= 287)
-        symp1 = jnp.where(valid, lsym + 1, 0)
-        lit_sym8 = _pack_nibbles(symp1 & 0xFF, 4, 8)  # (72,)
-        lit_symhi = _pack_nibbles(symp1 >> 8, 32, 1)  # (9,)
-        dvalid = (dsym >= 0) & (dsym <= 29)
-        dist_sym8 = _pack_nibbles(jnp.where(dvalid, dsym + 1, 0), 4, 8)  # (8,)
-
-        tab = jnp.concatenate([
-            llim, lrd, dlim, drd, lit_sym8, lit_symhi, dist_sym8,
-            start[None], min_len[None], jnp.zeros((5,), jnp.int32),
-        ])  # (160,)
+        ok = empty | is_static | ((btype == 2) & cl_ok & ~cover & trees_ok)
+        min_len = jnp.where(empty, 99, min_len)
         return dict(
             ok=ok.astype(jnp.int32), start=start, min_len=min_len, tab=tab,
         )
@@ -1610,6 +1624,23 @@ def inflate_device(
     (/root/reference/deflate.py:25,21,275-286).  ``one_block`` stops after
     the first end-of-block, the ONEBLOCK analog (deflate.py:28,415-421).
     """
+    import os as _os
+
+    if (
+        not static_only
+        and not one_block
+        and jax.devices()[0].platform == "tpu"
+        and not _os.environ.get("TPU_DEFLATE_NO_FOREIGN_FAST")
+    ):
+        # device-paced per-block fast path (ops/foreign.py); None means
+        # the stream needs this XLA pipeline (sub-3-bit literal codes or
+        # oversized blocks)
+        from tpu_deflate.ops.foreign import inflate_foreign_device
+
+        r = inflate_foreign_device(data, start_bit)
+        if r is not None:
+            return r
+
     raw = np.frombuffer(bytes(data), dtype=np.uint8)
     m = len(raw)
     # pad the input to a power-of-two bucket so compiled programs are
