@@ -205,8 +205,10 @@ def main():
         nfw = fw_mb // chunk
         finf = np.zeros(nfw, bool)
         finf[-1] = True
+        # speed end of the far-matcher knob; the best-ratio stage below
+        # keeps the exact matcher (ratio_vs_zlib6 is its bar)
         fw_cfg = DeflateConfig(window=32768, max_match=258, lazy=True,
-                               chunk_size=chunk)
+                               chunk_size=chunk, far_matcher="fast")
         encf = jax.jit(functools.partial(encode_blocks_batch, config=fw_cfg))
         (outf, sizesf, _), fw_s = timed(
             encf, darr[:nfw], dlens[:nfw], jnp.asarray(finf), reps=1)

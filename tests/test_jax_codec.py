@@ -456,3 +456,27 @@ def test_multi_pass_boundary_chase():
         out, total = D.expand_batch(rows, tk, ta, tb, tp, out_cap=1 << 15)
         got = np.asarray(out)[0, : int(np.asarray(total)[0])].tobytes()
         assert got == data, pwin
+
+
+class TestFarMatcherKnob:
+    def test_fast_far_matcher_roundtrip(self):
+        """far_matcher='fast' (diagonal-run lengths) must still emit valid
+        streams; ratio may trail the exact matcher but stays sane."""
+        import zlib
+
+        import tpu_deflate
+        from tpu_deflate.config import DeflateConfig
+
+        data = (corpus(1, 20000) + corpus(3, 8000) + b"\x00" * 5000) * 2
+        exact = tpu_deflate.compress(
+            data, DeflateConfig(window=32768, max_match=258, lazy=True,
+                                far_matcher="exact")
+        )
+        fast = tpu_deflate.compress(
+            data, DeflateConfig(window=32768, max_match=258, lazy=True,
+                                far_matcher="fast")
+        )
+        assert zlib.decompress(exact) == data
+        assert zlib.decompress(fast) == data
+        assert len(fast) < len(data)  # still a real compressor
+        assert len(exact) <= len(fast) * 1.05 or len(exact) <= len(fast)

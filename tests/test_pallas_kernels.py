@@ -26,109 +26,6 @@ def test_encode_fast_config_end_to_end():
 
 
 # ---------------------------------------------------------------------------
-# Fused expand kernel (kernels/expand.py, interpret mode)
-# ---------------------------------------------------------------------------
-
-
-def _ref_expand(tokens, out_cap):
-    """Numpy reference: sequential token expansion."""
-    out = np.zeros(out_cap, np.uint8)
-    pos = 0
-    for kind, a, b in tokens:
-        if kind == 0:  # literal
-            out[pos] = a
-            pos += 1
-        else:  # match: copy a bytes from distance b (byte-at-a-time)
-            for _ in range(a):
-                out[pos] = out[pos - b]
-                pos += 1
-    return out, pos
-
-
-def _random_tokens(rng, target_bytes, max_match=258, max_dist=2048):
-    toks = []
-    pos = 0
-    while pos < target_bytes:
-        if pos >= 3 and rng.random() < 0.45:
-            ln = int(rng.integers(3, min(max_match, target_bytes - pos + 3) + 1))
-            d = int(rng.integers(1, min(max_dist, pos) + 1))
-            toks.append((1, ln, d))
-            pos += ln
-        else:
-            toks.append((0, int(rng.integers(0, 256)), 0))
-            pos += 1
-    return toks
-
-
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_expand_fused_matches_reference(seed):
-    from tpu_deflate.kernels.expand import OTILE, expand_fused
-
-    rng = np.random.default_rng(seed)
-    out_cap = 4 * OTILE
-    B = 2
-    K = out_cap + 16
-    offs = np.zeros((B, K), np.int32)
-    c1s = np.zeros((B, K), np.int32)
-    tbs = np.zeros((B, K), np.int32)
-    tps = np.zeros(B, np.int32)
-    tots = np.zeros(B, np.int32)
-    refs = []
-    for b in range(B):
-        toks = _random_tokens(rng, out_cap - int(rng.integers(0, 900)))
-        ref, total = _ref_expand(toks, out_cap)
-        refs.append(ref)
-        tps[b] = len(toks)
-        tots[b] = total
-        pos = 0
-        for e, (kind, a, d) in enumerate(toks):
-            offs[b, e] = pos
-            c1s[b, e] = (kind << 9) | (a if kind == 0 else a & 0x1FF)
-            tbs[b, e] = d
-            pos += 1 if kind == 0 else a
-        offs[b, len(toks):] = total
-    # NOTE: match lengths > 511 don't fit c1's 9-bit ta field; the token
-    # generator caps at 258 (the RFC max), which fits.
-    out = expand_fused(
-        jnp.asarray(offs), jnp.asarray(c1s), jnp.asarray(tbs),
-        jnp.asarray(tps), jnp.asarray(tots), out_cap=out_cap, interpret=True,
-    )
-    out = np.asarray(out).astype(np.uint8)
-    for b in range(B):
-        np.testing.assert_array_equal(out[b, : tots[b]], refs[b][: tots[b]])
-
-
-def test_expand_fused_overlap_runs():
-    """dist<len runs (the off1/off2 cases) and cross-tile references."""
-    from tpu_deflate.kernels.expand import OTILE, expand_fused
-
-    out_cap = 4 * OTILE
-    toks = [(0, 65, 0), (0, 66, 0), (1, 258, 1), (1, 258, 2), (1, 100, 3)]
-    # long dist-1 run crossing the tile boundary (ta holds 9 bits, so the
-    # run is a chain of RFC-max 258-byte matches, exactly as tokenize emits)
-    toks += [(0, 67, 0)] + [(1, 258, 1)] * ((OTILE + 300) // 258 + 1)
-    toks += [(1, 258, OTILE // 2)]
-    ref, total = _ref_expand(toks, out_cap)
-    K = 128
-    offs = np.full((1, K), 0, np.int32)
-    c1s = np.zeros((1, K), np.int32)
-    tbs = np.zeros((1, K), np.int32)
-    pos = 0
-    for e, (kind, a, d) in enumerate(toks):
-        offs[0, e] = pos
-        c1s[0, e] = (kind << 9) | (a & 0x1FF)
-        tbs[0, e] = d
-        pos += 1 if kind == 0 else a
-    offs[0, len(toks):] = total
-    out = expand_fused(
-        jnp.asarray(offs), jnp.asarray(c1s), jnp.asarray(tbs),
-        jnp.asarray([len(toks)], np.int32), jnp.asarray([total], np.int32),
-        out_cap=out_cap, interpret=True,
-    )
-    np.testing.assert_array_equal(np.asarray(out)[0, :total].astype(np.uint8), ref[:total])
-
-
-# ---------------------------------------------------------------------------
 # Monotone compaction kernel (kernels/monotone.py mono_compact)
 # ---------------------------------------------------------------------------
 

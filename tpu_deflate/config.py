@@ -65,6 +65,12 @@ class DeflateConfig:
     # parse; off for reference-parity configs.
     lazy: bool = False
 
+    # Far-match (window > 256) quality knob, the zlib-level analog:
+    # "exact" extends every winner to max_match byte-exactly (best ratio);
+    # "fast" bounds probes to 8 bytes and stitches long matches from
+    # diagonal runs (~3.6x faster, ~11% worse ratio on the bench corpus).
+    far_matcher: str = "exact"
+
     def __post_init__(self):
         # Legality rules, mirroring /root/reference/deflate.py:43-53.
         if self.low_lut:
@@ -87,6 +93,8 @@ class DeflateConfig:
             object.__setattr__(self, "max_match", 5)
         if self.max_match < 3 or self.max_match > 258:
             raise ValueError("max_match must be in [3, 258]")
+        if self.far_matcher not in ("exact", "fast"):
+            raise ValueError("far_matcher must be 'exact' or 'fast'")
 
 
 # Reference parity presets (README.md build configurations).

@@ -38,74 +38,6 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _match2_kernel_r3(n_ref, ext_ref, dl_ref, ch_ref, *, window: int,
-                      max_match: int, seg: int):
-    """Round-3 form kept verbatim for A/B hang isolation: fori sweep with
-    a VMEM-scratch channel round-trip, default scoped-VMEM budget."""
-    b = pl.program_id(0)
-    n = n_ref[b]
-    halo = window
-    rhalo = max_match
-    E = -(-(seg + rhalo) // 128) * 128
-    L = -(-(halo + E) // 128) * 128
-    ext = ext_ref[0]
-    key = ext[:, halo : halo + E]
-    pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (LANES, seg), 0) * seg
-        + jax.lax.broadcasted_iota(jnp.int32, (LANES, seg), 1)
-    )
-    posok = pos + 3 <= n
-    nch = (window + 31) // 32
-    best_d = jnp.zeros((LANES, seg), jnp.int32)
-    found = jnp.zeros((LANES, seg), bool)
-    length = jnp.zeros((LANES, seg), jnp.int32)
-    for c in range(nch):
-        lo_d = 32 * c + 1
-        hi_d = min(32 * c + 32, window)
-
-        def body(t, ch):
-            d = lo_d + t
-            rolled = pltpu.roll(ext, d, 1)[:, halo : halo + E]
-            eqb = (key == rolled).astype(jnp.uint32)
-            return ch | (eqb << ((d - 1) & 31))
-
-        ch_ref[...] = jax.lax.fori_loop(
-            0, hi_d - lo_d + 1, body, jnp.zeros((LANES, E), jnp.uint32)
-        )
-        chc = ch_ref[...]
-        mc = chc[:, :seg] & chc[:, 1 : seg + 1] & chc[:, 2 : seg + 2]
-        lsb = mc & (~mc + jnp.uint32(1))
-        k = (31 - jax.lax.clz(lsb)).astype(jnp.int32)
-        has_c = mc != 0
-        new = ~found & has_c
-        d_c = 32 * c + k + 1
-        best_d = jnp.where(new, d_c, best_d)
-        found = found | has_c
-        bit = jnp.where(new, k, 0).astype(jnp.uint32)
-        alive = new & posok & (d_c <= pos)
-        len_c = jnp.zeros((LANES, seg), jnp.int32)
-        for kk in range(3, max_match):
-            alive = alive & (((chc[:, kk : seg + kk] >> bit) & 1) == 1)
-            len_c = len_c + alive.astype(jnp.int32)
-        length = length + len_c
-    has = found & posok & (best_d <= pos)
-    length = jnp.where(has, 3 + length, 0)
-    length = jnp.minimum(length, jnp.maximum(n - pos, 0))
-    dl_ref[0] = (jnp.where(has, best_d, 0) << 9) | length
-
-
-def _halo_bytes_gather(b: jax.Array, halo: int, seg: int, rhalo: int) -> jax.Array:
-    """Round-3 gather-based halo layout (see _match2_kernel_r3)."""
-    idx = (
-        jnp.arange(LANES, dtype=jnp.int32)[:, None] * seg
-        - halo
-        + jnp.arange(halo + seg + rhalo, dtype=jnp.int32)[None, :]
-    )
-    valid = (idx >= 0) & (idx < b.shape[0])
-    vals = b[jnp.clip(idx, 0, b.shape[0] - 1)]
-    return jnp.where(valid, vals, -1)
-
-
 def _match2_kernel_hybrid(n_ref, ext_ref, dl_ref, *, window: int,
                           max_match: int, seg: int):
     """Two-level sweep: ONE dynamic-amount roll per 32-distance channel
@@ -286,6 +218,8 @@ def match_bitplane_batch(
     # (reproduced 3x on 2026-08-20; suspected Mosaic instruction-memory
     # pressure — the hybrid's rolls never exceed 32 lanes and its body is
     # 1/8 the size): select "unroll" for standalone experiments only.
+    # (The round-3 gather-halo form was retired after two rounds of
+    # hardware bench runs confirmed the r4 forms.)
     form = _os.environ.get("TPU_DEFLATE_MATCH2_FORM", "hybrid")
     B, N = data.shape
     seg = N // LANES
@@ -296,28 +230,12 @@ def match_bitplane_batch(
     # the halo layout carries L - halo >= seg + rhalo columns per row so
     # channel slices stay in-bounds (extra columns read real next-segment
     # bytes or -1 pads; they are never consumed past seg + max_match)
-    halo_fn = _halo_bytes_gather if form == "r3" else _halo_bytes
-    ext = jax.vmap(lambda row: halo_fn(row, halo, seg, L - halo - seg))(b)
+    ext = jax.vmap(lambda row: _halo_bytes(row, halo, seg, L - halo - seg))(b)
 
     spec = pl.BlockSpec(
         (1, LANES, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
     )
     ospec = pl.BlockSpec((1, LANES, seg), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    if form == "r3":
-        kern = functools.partial(
-            _match2_kernel_r3, window=window, max_match=max_match, seg=seg
-        )
-        dl = pl.pallas_call(
-            kern,
-            grid=(B,),
-            out_shape=jax.ShapeDtypeStruct((B, LANES, seg), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
-            out_specs=ospec,
-            scratch_shapes=[pltpu.VMEM((LANES, E), jnp.uint32)],
-            interpret=interpret,
-        )(n.astype(jnp.int32), ext)
-        dl = dl.reshape(B, N)
-        return dl >> 9, dl & 0x1FF
     if form == "hybrid" and window % 32 == 0:
         kern = functools.partial(
             _match2_kernel_hybrid, window=window, max_match=max_match,

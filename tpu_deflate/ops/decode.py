@@ -1270,12 +1270,11 @@ def expand_batch(data, tk, ta, tb, tp, out_cap: int):
     data: uint8[B, M]; tk/ta/tb: int32[B, TOK]; tp: int32[B].
     Returns (uint8[B, out_cap], int32[B] totals).  On TPU the whole stage
     (paint + fill + run collapse + back-ref resolve) runs as ONE fused
-    sequential Pallas kernel (kernels/expand.py); streams containing
+    sequential Pallas kernel (kernels/expand3.py); streams containing
     stored-block tokens (which need an input-data gather) take the XLA
     path via a runtime cond."""
     import os as _os
 
-    from tpu_deflate.kernels.expand import expand_fused
     from tpu_deflate.kernels.expand2 import OTILE, expand_fused2
     from tpu_deflate.kernels.resolve import resolve_roots
 
@@ -1294,27 +1293,15 @@ def expand_batch(data, tk, ta, tb, tp, out_cap: int):
         return out, total
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    use_v1 = bool(_os.environ.get("TPU_DEFLATE_EXPAND_V1"))
     use_kernel = (
         on_tpu
         and out_cap % OTILE == 0
-        and OTILE <= out_cap <= ((1 << 16) if use_v1 else (1 << 20))
+        and OTILE <= out_cap <= (1 << 20)
         and tk.ndim == 2
         and not _os.environ.get("TPU_DEFLATE_NO_PALLAS_EXPAND")
     )
     if not use_kernel:
         return xla_path(None)
-
-    if use_v1:
-        def kern_path(_):
-            out_len_tok = jnp.where(live, jnp.where(tk == TK_LIT, 1, ta), 0)
-            off = (jnp.cumsum(out_len_tok, axis=-1) - out_len_tok).astype(jnp.int32)
-            total = jnp.sum(out_len_tok, axis=-1).astype(jnp.int32)
-            c1 = ((tk & 3) << 9) | (ta & 0x1FF)
-            outk = expand_fused(off, c1, tb, tp, total, out_cap=out_cap)
-            return outk.astype(jnp.uint8), total
-
-        return jax.lax.cond(any_stored, xla_path, kern_path, None)
 
     from tpu_deflate.kernels.expand3 import MAXD as MAXD3, expand_fused3
 
